@@ -1,0 +1,175 @@
+"""Vectorized MettaGrid environment.
+
+The TPU-native replacement for ``MettaGridPufferEnv`` + pufferlib's process
+vectorization (``envs/mettagrid_puffer_env.py:60-283``, ``pufferlib/vector.py``):
+instead of worker processes and shared-memory buffers, the batch dimension is a
+``vmap`` axis and the whole step (actions → simulation → observations) is one
+jitted XLA program that never leaves the device.
+
+Auto-reset: envs that terminate/truncate are reset in the same step call and
+return the new episode's initial observations (standard vecenv semantics).
+Episode desync (reference ``envs/early_reset_handler.py:6-20``): the first
+episode of each env instance is truncated at an independent random step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from metta_tpu.config.mettagrid_config import MettaGridConfig
+from metta_tpu.engine.compiler import CompiledConfig, compile_game
+from metta_tpu.engine.state import EnvState
+from metta_tpu.engine.step import initial_observations, make_initial_state, step_env
+from metta_tpu.engine.tables import Tables
+
+
+@struct.dataclass
+class VecEnvState:
+    env: EnvState                # batched over E
+    desync_step: jnp.ndarray     # [E] int32; >0 = truncate first episode there
+    episode_len: jnp.ndarray     # [E] int32 of the last finished episode
+    last_episode_reward: jnp.ndarray  # [E, A] f32 of the last finished episode
+
+
+class MettaGridEnv:
+    """Batched on-device MettaGrid.
+
+    Args:
+      cfg: environment config.
+      num_envs: batch size E (vmapped).
+      seed: PRNG seed for all per-env chains.
+      desync_episodes: truncate each env's first episode at a random step.
+    """
+
+    def __init__(
+        self,
+        cfg: MettaGridConfig,
+        num_envs: int = 1,
+        seed: int = 0,
+        desync_episodes: Optional[bool] = None,
+    ):
+        self.cfg = cfg
+        self.num_envs = num_envs
+        game_map = cfg.game.map_builder.create().build()
+        self.game_map = game_map
+        self.compiled, self._init = compile_game(cfg.game, game_map)
+        self.tables = Tables(self.compiled)
+        self.desync = cfg.desync_episodes if desync_episodes is None else desync_episodes
+        self._seed = seed
+        self.single_observation_space_shape = (self.compiled.num_obs_tokens, 3)
+        self.num_agents = self.compiled.num_agents
+        self.action_names = self.compiled.action_names
+
+        tables = self.tables
+        init = self._init
+
+        def reset_one(key) -> EnvState:
+            return make_initial_state(tables, init, key)
+
+        def reset_batch(key):
+            keys = jax.random.split(key, num_envs)
+            env = jax.vmap(reset_one)(keys)
+            obs = jax.vmap(lambda s: initial_observations(s, tables))(env)
+            if self.desync and tables.max_steps > 0:
+                desync = jax.random.randint(
+                    jax.random.fold_in(key, 1), (num_envs,), 1, tables.max_steps
+                )
+            else:
+                desync = jnp.zeros((num_envs,), jnp.int32)
+            A = tables.num_agents
+            return VecEnvState(
+                env=env,
+                desync_step=desync,
+                episode_len=jnp.zeros((num_envs,), jnp.int32),
+                last_episode_reward=jnp.zeros((num_envs, A), jnp.float32),
+            ), obs
+
+        def step_batch(vstate: VecEnvState, actions):
+            env, obs = jax.vmap(lambda s, a: step_env(s, a, tables))(vstate.env, actions)
+            force_trunc = (vstate.desync_step > 0) & (env.step >= vstate.desync_step)
+            truncated = env.truncated | force_trunc
+            done = env.done
+            ended = done | truncated
+            rewards = env.reward
+            episode_done_len = jnp.where(ended, env.step, vstate.episode_len)
+            episode_done_rew = jnp.where(
+                ended[:, None], env.episode_reward, vstate.last_episode_reward
+            )
+
+            # auto-reset ended envs (fresh key from the env's chain)
+            fresh = jax.vmap(lambda s: make_initial_state(tables, init, s.key))(env)
+            env = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(ended, (-1,) + (1,) * (old.ndim - 1)), new, old
+                ),
+                fresh, env,
+            )
+            reset_obs = jax.vmap(lambda s: initial_observations(s, tables))(env)
+            obs = jnp.where(ended[:, None, None, None], reset_obs, obs)
+            vstate = VecEnvState(
+                env=env,
+                desync_step=jnp.where(ended, 0, vstate.desync_step),
+                episode_len=episode_done_len,
+                last_episode_reward=episode_done_rew,
+            )
+            return vstate, obs, rewards, done, truncated
+
+        self._reset_fn = jax.jit(reset_batch)
+        self._step_fn = jax.jit(step_batch)
+        self._state: Optional[VecEnvState] = None
+
+    # ------------------------------------------------------------------
+    # functional API (for use inside a jitted training loop)
+    # ------------------------------------------------------------------
+
+    def reset_fn(self, key):
+        """(key) -> (VecEnvState, obs). Jit-compatible."""
+        return self._reset_fn(key)
+
+    def step_fn(self, vstate, actions):
+        """(VecEnvState, actions [E, A] int32) -> (VecEnvState, obs, rew, done, trunc)."""
+        return self._step_fn(vstate, actions)
+
+    # ------------------------------------------------------------------
+    # stateful numpy API (tests, eval, play)
+    # ------------------------------------------------------------------
+
+    def reset(self, seed: Optional[int] = None):
+        key = jax.random.PRNGKey(self._seed if seed is None else seed)
+        self._state, obs = self._reset_fn(key)
+        return np.asarray(obs)
+
+    def step(self, actions):
+        assert self._state is not None, "call reset() first"
+        actions = jnp.asarray(actions, jnp.int32)
+        if actions.ndim == 1:
+            actions = actions[None, :]
+        self._state, obs, rew, done, trunc = self._step_fn(self._state, actions)
+        return (
+            np.asarray(obs),
+            np.asarray(rew),
+            np.asarray(done),
+            np.asarray(trunc),
+        )
+
+    # --- inspection helpers (parity with MettaGrid debug accessors) ---
+
+    @property
+    def state(self) -> VecEnvState:
+        return self._state
+
+    def env_state(self, e: int = 0) -> EnvState:
+        """Single-env view of the batched state (host copies)."""
+        return jax.tree.map(lambda x: np.asarray(x[e]), self._state.env)
+
+    def action_success(self, e: int = 0):
+        return np.asarray(self._state.env.action_success[e])
+
+    def episode_rewards(self, e: int = 0):
+        return np.asarray(self._state.env.episode_reward[e])

@@ -1,0 +1,323 @@
+"""Token observation renderer.
+
+Parity: ``bindings/mettagrid_c.cpp:397-563`` + ``systems/observation_encoder.hpp``.
+Each observation is ``[num_tokens, 3] uint8`` of ``(packed_location,
+feature_id, value)`` tokens: global tokens at the window center, an optional
+compass token one step toward the map center, then visible objects in
+increasing-Manhattan-distance (center-out) order until the buffer fills.
+Empty slots are 0xff. Packed location = ``row<<4 | col`` in window coords
+(``systems/packed_coordinate.hpp:27-72``).
+
+Design (TPU-native): instead of walking objects per agent per cell, we build
+per-object token *blocks* once per step (vmap over agents / assemblers /
+chests / wall types), concatenate them into one table, and each agent's render
+is a single gather over its 121 window cells followed by a prefix-sum
+compaction into the token buffer. Within-object token order for inventories is
+resource-id ascending (the reference's order follows unordered_map iteration,
+which is unspecified).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metta_tpu.engine.protocols import select_protocol, select_unclip_protocol, surrounding_vibe_key
+from metta_tpu.engine.state import KIND_AGENT, KIND_ASSEMBLER, KIND_CHEST, KIND_WALL
+
+EMPTY = 255
+
+
+def _pad_block(feats, vals, valid, k):
+    """Pad (feature, value, valid) stacks to k slots."""
+    n = feats.shape[0]
+    if n < k:
+        pad = k - n
+        feats = jnp.concatenate([feats, jnp.zeros((pad,), feats.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return feats, vals, valid
+
+
+def _inventory_tokens(tables, inv_row):
+    """Multi-token inventory encoding for one inventory vector [R].
+
+    Returns (feats [R*n_tok], vals, valid): base token per nonzero resource,
+    power tokens while the shifted remainder is nonzero
+    (observation_encoder.hpp:160-180).
+    """
+    base = tables.token_value_base
+    n_tok = tables.num_inv_tokens
+    feats, vals, valids = [], [], []
+    for p in range(n_tok):
+        shifted = inv_row // (base ** p)
+        vals.append(shifted % base)
+        feats.append(tables.inv_feature_ids[:, p])
+        valids.append(shifted > 0)
+    # interleave per resource: r0 base, r0 p1, ..., r1 base, ...
+    feats = jnp.stack(feats, axis=1).reshape(-1)
+    vals = jnp.stack(vals, axis=1).reshape(-1)
+    valid = jnp.stack(valids, axis=1).reshape(-1)
+    return feats, vals, valid
+
+
+def build_agent_blocks(state, tables):
+    """[A, K, 2] (feature, value) + [A, K] valid; order per agent.cpp:195-225."""
+    f = tables.feat_id
+    K = tables.max_tokens_per_cell
+
+    def one(a):
+        feats = [jnp.int32(f["agent:group"]), jnp.int32(f["agent:frozen"]), jnp.int32(f["vibe"])]
+        vals = [tables.agent_group[a], (state.agent_frozen[a] != 0).astype(jnp.int32),
+                state.agent_vibe[a]]
+        valid = [jnp.bool_(True), jnp.bool_(True), state.agent_vibe[a] != 0]
+        inv_f, inv_v, inv_ok = _inventory_tokens(tables, state.agent_inv[a])
+        tag_f = jnp.full((tables.max_tags,), f["tag"], jnp.int32)
+        tag_v = jnp.maximum(tables.agent_tags[a], 0)
+        tag_ok = tables.agent_tags[a] >= 0
+        feats = jnp.concatenate([jnp.stack(feats), inv_f, tag_f])
+        vals = jnp.concatenate([jnp.stack(vals), inv_v, tag_v])
+        ok = jnp.concatenate([jnp.stack(valid), inv_ok, tag_ok])
+        return _pad_block(feats, vals, ok, K)
+
+    feats, vals, ok = jax.vmap(one)(jnp.arange(tables.num_agents))
+    return jnp.stack([feats, vals], axis=-1), ok
+
+
+def build_wall_blocks(tables):
+    """Per-object-type block: tags then vibe (wall.hpp:26-38)."""
+    f = tables.feat_id
+    K = tables.max_tokens_per_cell
+
+    def one(t):
+        tag_f = jnp.full((tables.max_tags,), f["tag"], jnp.int32)
+        tag_v = jnp.maximum(tables.type_tags[t], 0)
+        tag_ok = tables.type_tags[t] >= 0
+        feats = jnp.concatenate([tag_f, jnp.array([f["vibe"]], jnp.int32)])
+        vals = jnp.concatenate([tag_v, tables.type_vibe[t][None]])
+        ok = jnp.concatenate([tag_ok, (tables.type_vibe[t] != 0)[None]])
+        return _pad_block(feats, vals, ok, K)
+
+    feats, vals, ok = jax.vmap(one)(jnp.arange(tables.n_object_types))
+    return jnp.stack([feats, vals], axis=-1), ok
+
+
+def build_assembler_blocks(state, tables):
+    """Per-assembler block (assembler.hpp:528-578)."""
+    f = tables.feat_id
+    K = tables.max_tokens_per_cell
+    R = tables.num_resources
+
+    def one(i):
+        t = state.asm_type[i]
+        remaining = jnp.clip(state.asm_cooldown_end[i] - state.step, 0, 255)
+        max_uses = tables.type_max_uses[t]
+        remaining_uses = jnp.clip(max_uses - state.asm_uses[i], 0, 255)
+        head_f = jnp.array([f["cooldown_remaining"], f["clipped"], f["remaining_uses"]], jnp.int32)
+        head_v = jnp.stack([remaining, state.asm_clipped[i].astype(jnp.int32), remaining_uses])
+        head_ok = jnp.stack([remaining > 0, state.asm_clipped[i], max_uses > 0])
+
+        if tables.protocol_details_obs:
+            key_vec, n_agents, _, _, _ = surrounding_vibe_key(state, tables, state.asm_r[i], state.asm_c[i])
+            p_norm = select_protocol(tables, t, key_vec, n_agents)
+            p_un = select_unclip_protocol(tables, state.asm_unclip_proto[i], key_vec, n_agents)
+            clipped = state.asm_clipped[i]
+            use_un = clipped
+            p_idx = jnp.where(use_un, p_un, p_norm)
+            has_p = p_idx >= 0
+            p_safe = jnp.clip(p_idx, 0, None)
+            inputs = jnp.where(use_un, tables.uproto_in[jnp.clip(p_safe, 0, tables.n_unclip_protocols - 1)],
+                               tables.proto_in[jnp.clip(p_safe, 0, tables.n_protocols - 1)])
+            outputs = jnp.where(use_un, tables.uproto_out[jnp.clip(p_safe, 0, tables.n_unclip_protocols - 1)],
+                                tables.proto_out[jnp.clip(p_safe, 0, tables.n_protocols - 1)])
+            in_f = tables.proto_input_feature
+            out_f = tables.proto_output_feature
+            proto_f = jnp.concatenate([in_f, out_f])
+            proto_v = jnp.concatenate([inputs, outputs])
+            proto_ok = (proto_v > 0) & has_p
+        else:
+            proto_f = jnp.zeros((0,), jnp.int32)
+            proto_v = jnp.zeros((0,), jnp.int32)
+            proto_ok = jnp.zeros((0,), bool)
+
+        tag_f = jnp.full((tables.max_tags,), f["tag"], jnp.int32)
+        tag_v = jnp.maximum(tables.type_tags[t], 0)
+        tag_ok = tables.type_tags[t] >= 0
+        vibe_f = jnp.array([f["vibe"]], jnp.int32)
+        vibe_v = tables.type_vibe[t][None]
+        vibe_ok = (tables.type_vibe[t] != 0)[None]
+
+        feats = jnp.concatenate([head_f, proto_f, tag_f, vibe_f])
+        vals = jnp.concatenate([head_v, proto_v, tag_v, vibe_v])
+        ok = jnp.concatenate([head_ok, proto_ok, tag_ok, vibe_ok]) & state.asm_valid[i]
+        return _pad_block(feats, vals, ok, K)
+
+    feats, vals, ok = jax.vmap(one)(jnp.arange(tables.n_assembler_slots))
+    return jnp.stack([feats, vals], axis=-1), ok
+
+
+def build_chest_blocks(state, tables):
+    """Per-chest block: vibe, inventory, tags (chest.hpp:128-150)."""
+    f = tables.feat_id
+    K = tables.max_tokens_per_cell
+
+    def one(i):
+        t = state.chest_type[i]
+        vibe_f = jnp.array([f["vibe"]], jnp.int32)
+        vibe_v = tables.type_vibe[t][None]
+        vibe_ok = (tables.type_vibe[t] != 0)[None]
+        inv_f, inv_v, inv_ok = _inventory_tokens(tables, state.chest_inv[i])
+        tag_f = jnp.full((tables.max_tags,), f["tag"], jnp.int32)
+        tag_v = jnp.maximum(tables.type_tags[t], 0)
+        tag_ok = tables.type_tags[t] >= 0
+        feats = jnp.concatenate([vibe_f, inv_f, tag_f])
+        vals = jnp.concatenate([vibe_v, inv_v, tag_v])
+        ok = jnp.concatenate([vibe_ok, inv_ok, tag_ok]) & state.chest_valid[i]
+        return _pad_block(feats, vals, ok, K)
+
+    feats, vals, ok = jax.vmap(one)(jnp.arange(tables.n_chest_slots))
+    return jnp.stack([feats, vals], axis=-1), ok
+
+
+def render_observations(state, tables, executed_actions, rewards_at_obs):
+    """Render all agents' token observations → [A, T, 3] uint8."""
+    A = tables.num_agents
+    T = tables.num_obs_tokens
+    K = tables.max_tokens_per_cell
+    oh, ow = tables.obs_height, tables.obs_width
+    ohr, owr = oh // 2, ow // 2
+    H, W = tables.height, tables.width
+    f = tables.feat_id
+
+    agent_blocks, agent_ok = build_agent_blocks(state, tables)
+    wall_blocks, wall_ok = build_wall_blocks(tables)
+    if tables.has_assemblers:
+        asm_blocks, asm_ok = build_assembler_blocks(state, tables)
+    else:
+        asm_blocks = jnp.zeros((tables.n_assembler_slots, K, 2), jnp.int32)
+        asm_ok = jnp.zeros((tables.n_assembler_slots, K), bool)
+    if tables.has_chests:
+        chest_blocks, chest_ok = build_chest_blocks(state, tables)
+    else:
+        chest_blocks = jnp.zeros((tables.n_chest_slots, K, 2), jnp.int32)
+        chest_ok = jnp.zeros((tables.n_chest_slots, K), bool)
+
+    # Unified block table: [1 + A + NT + NA + NC, K, 2]
+    none_block = jnp.zeros((1, K, 2), jnp.int32)
+    none_ok = jnp.zeros((1, K), bool)
+    blocks = jnp.concatenate([none_block, agent_blocks, wall_blocks, asm_blocks, chest_blocks])
+    oks = jnp.concatenate([none_ok, agent_ok, wall_ok, asm_ok, chest_ok])
+    off_agent = 1
+    off_wall = 1 + A
+    off_asm = off_wall + tables.n_object_types
+    off_chest = off_asm + tables.n_assembler_slots
+
+    # Static per-scan-position window-coordinate location bytes.
+    scan_dr = tables.scan_dr
+    scan_dc = tables.scan_dc
+    loc_bytes = ((scan_dr + ohr) << 4) | (scan_dc + owr)  # [S]
+
+    map_center_r, map_center_c = H // 2, W // 2
+
+    def render_one(a):
+        ar, ac = state.agent_r[a], state.agent_c[a]
+
+        # ---- global token slots (static layout) ----
+        g_feats, g_vals, g_ok, g_loc = [], [], [], []
+        center_loc = jnp.int32((ohr << 4) | owr)
+        if tables.global_episode_completion:
+            if tables.max_steps > 0:
+                pct = jnp.where(
+                    state.step >= tables.max_steps,
+                    jnp.int32(255),
+                    (256 * state.step) // tables.max_steps,
+                )
+            else:
+                pct = jnp.int32(0)
+            g_feats.append(jnp.int32(f["episode_completion_pct"]))
+            g_vals.append(pct)
+            g_ok.append(jnp.bool_(True))
+            g_loc.append(center_loc)
+        if tables.global_last_action:
+            g_feats.append(jnp.int32(f["last_action"]))
+            g_vals.append(executed_actions[a])
+            g_ok.append(jnp.bool_(True))
+            g_loc.append(center_loc)
+        if tables.global_last_reward:
+            g_feats.append(jnp.int32(f["last_reward"]))
+            g_vals.append(jnp.round(rewards_at_obs[a] * 100.0).astype(jnp.int32))
+            g_ok.append(jnp.bool_(True))
+            g_loc.append(center_loc)
+        if tables.global_goal:
+            for r in range(tables.num_resources):
+                g_feats.append(jnp.int32(f["goal"]))
+                g_vals.append(tables.inv_feature_ids[r, 0])
+                g_ok.append(tables.goal_token_mask[a, r])
+                g_loc.append(center_loc)
+        if tables.global_compass:
+            dr = map_center_r - ar
+            dc = map_center_c - ac
+            sr = jnp.sign(dr)
+            sc = jnp.sign(dc)
+            has_dir = (sr != 0) | (sc != 0)
+            g_feats.append(jnp.int32(f["agent:compass"]))
+            g_vals.append(jnp.int32(1))
+            g_ok.append(has_dir)
+            g_loc.append((((ohr + sr) << 4) | (owr + sc)).astype(jnp.int32))
+        if not g_feats:
+            g_feats = [jnp.int32(0)]
+            g_vals = [jnp.int32(0)]
+            g_ok = [jnp.bool_(False)]
+            g_loc = [jnp.int32(0)]
+        g_feats = jnp.stack(g_feats)
+        g_vals = jnp.stack(g_vals)
+        g_ok = jnp.stack(g_ok)
+        g_loc = jnp.stack(g_loc)
+
+        # ---- window cells in center-out order ----
+        rr = ar + scan_dr
+        cc = ac + scan_dc
+        in_bounds = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
+        rs = jnp.clip(rr, 0, H - 1)
+        cs = jnp.clip(cc, 0, W - 1)
+        a_plus1 = state.agent_grid[rs, cs]
+        skind = state.static_kind[rs, cs]
+        sidx = state.static_idx[rs, cs]
+        stype = state.static_type[rs, cs]
+
+        block_idx = jnp.where(
+            ~in_bounds,
+            0,
+            jnp.where(
+                a_plus1 > 0,
+                off_agent + a_plus1 - 1,
+                jnp.where(
+                    skind == KIND_WALL, off_wall + stype,
+                    jnp.where(
+                        skind == KIND_ASSEMBLER, off_asm + sidx,
+                        jnp.where(skind == KIND_CHEST, off_chest + sidx, 0),
+                    ),
+                ),
+            ),
+        )
+        cell_tokens = blocks[block_idx]          # [S, K, 2]
+        cell_ok = oks[block_idx]                 # [S, K]
+        cell_loc = jnp.broadcast_to(loc_bytes[:, None], cell_ok.shape)
+
+        # ---- flatten & compact ----
+        feats = jnp.concatenate([g_feats, cell_tokens[..., 0].reshape(-1)])
+        vals = jnp.concatenate([g_vals, cell_tokens[..., 1].reshape(-1)])
+        ok = jnp.concatenate([g_ok, cell_ok.reshape(-1)])
+        locs = jnp.concatenate([g_loc, cell_loc.reshape(-1)])
+
+        pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
+        pos = jnp.where(ok, pos, T)  # invalid → dropped by scatter
+        out = jnp.full((T, 3), EMPTY, jnp.uint8)
+        tok3 = jnp.stack(
+            [locs.astype(jnp.uint8), feats.astype(jnp.uint8), vals.astype(jnp.uint8)], axis=-1
+        )
+        out = out.at[pos].set(tok3, mode="drop")
+        return out
+
+    return jax.vmap(render_one)(jnp.arange(A))

@@ -1,0 +1,64 @@
+"""Assembler protocol machinery: GroupVibe keys and protocol selection.
+
+Parity: ``objects/assembler.hpp:326-408`` — the "local vibe" of an assembler
+is the multiset of nonzero vibes shown by the 8 surrounding agents, canonically
+encoded; protocol lookup tries the exact key then falls back to the empty key,
+picking the candidate with the largest ``min_agents`` that is ≤ the number of
+surrounding agents (insertion order breaks ties, baked into ``proto_rank``).
+
+The uint64 pack of the reference is represented as a sorted ascending length-8
+vector (front-padded with zeros) — equality of vectors ⇔ equality of packs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def surrounding_vibe_key(state, tables, r, c):
+    """(key_vec [8], n_agents) for the 8 cells around (r, c).
+
+    OOB cells and non-agent cells contribute vibe 0, which is identical to an
+    agent showing the default vibe — exactly the semantics of the packed key.
+    """
+    H, W = tables.height, tables.width
+    offs = jnp.array(
+        [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)],
+        dtype=jnp.int32,
+    )
+    rr = r + offs[:, 0]
+    cc = c + offs[:, 1]
+    in_bounds = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
+    rs = jnp.clip(rr, 0, H - 1)
+    cs = jnp.clip(cc, 0, W - 1)
+    a_plus1 = state.agent_grid[rs, cs]
+    is_agent = in_bounds & (a_plus1 > 0)
+    a_idx = jnp.clip(a_plus1 - 1, 0, state.agent_vibe.shape[0] - 1)
+    vibes = jnp.where(is_agent, state.agent_vibe[a_idx], 0)
+    key_vec = jnp.sort(vibes)  # ascending; zeros pad the front
+    n_agents = jnp.sum(is_agent.astype(jnp.int32))
+    return key_vec, n_agents, is_agent, a_idx, in_bounds
+
+
+def _pick(tables, cand_mask):
+    score = jnp.where(cand_mask, tables.proto_rank, -1)
+    best = jnp.argmax(score)
+    return jnp.where(score[best] >= 0, best.astype(jnp.int32), jnp.int32(-1))
+
+
+def select_protocol(tables, type_id, key_vec, n_agents):
+    """Index of the active protocol for an (unclipped) assembler, or -1."""
+    cands = tables.proto_valid & (tables.proto_type == type_id) & (tables.proto_min_agents <= n_agents)
+    exact = jnp.all(tables.proto_key == key_vec[None, :], axis=1)
+    idx = _pick(tables, cands & exact)
+    zero = jnp.all(tables.proto_key == 0, axis=1)
+    idx0 = _pick(tables, cands & zero)
+    return jnp.where(idx >= 0, idx, idx0)
+
+
+def select_unclip_protocol(tables, uproto_idx, key_vec, n_agents):
+    """The single assigned unclip protocol, if its key matches (else -1)."""
+    i = jnp.clip(uproto_idx, 0, tables.uproto_key.shape[0] - 1)
+    ok = (uproto_idx >= 0) & (tables.uproto_min_agents[i] <= n_agents)
+    key_match = jnp.all(tables.uproto_key[i] == key_vec) | jnp.all(tables.uproto_key[i] == 0)
+    return jnp.where(ok & key_match, i, -1)

@@ -1,0 +1,153 @@
+"""Stat-based rewards, damage, and inventory regeneration.
+
+Parity:
+- stat rewards: ``objects/agent.cpp:104-135`` — reward level = Σ stat×weight
+  (capped per-stat); the *delta* vs the previous level is added to the step
+  reward. Stat keys are compiled to (source, index) pairs by the compiler.
+- damage: ``objects/agent.cpp:137-183`` — when every threshold resource is at
+  its threshold, thresholds are deducted and one removable resource is
+  destroyed, chosen with probability ∝ (amount − minimum).
+- regen: ``bindings/mettagrid_c.cpp:625-640`` — every
+  ``inventory_regen_interval`` steps, vibe-keyed amounts (with vibe-0
+  fallback, baked into the compiled table) are applied.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from metta_tpu.engine.compiler import (
+    SRC_ASM_CREATED,
+    SRC_CHEST_AMOUNT,
+    SRC_CHEST_DEPOSITED,
+    SRC_CHEST_DEPOSITED_BY_AGENT,
+    SRC_CHEST_WITHDRAWN,
+    SRC_GAINED,
+    SRC_INV_AMOUNT,
+    SRC_LOST,
+)
+from metta_tpu.engine.inventory import inv_update
+
+
+def compute_stat_rewards(state, tables):
+    """Add stat-reward deltas to the per-step reward; returns new state."""
+    A = tables.num_agents
+
+    chest_amount = jnp.sum(
+        jnp.where(state.chest_valid[:, None], state.chest_inv, 0), axis=0
+    )  # [R]
+
+    src = tables.stat_src      # [A, S]
+    idx = tables.stat_idx      # [A, S]
+
+    def per_agent_tables(a):
+        return jnp.stack([
+            jnp.zeros_like(state.agent_inv[a]),  # SRC_ZERO
+            state.agent_inv[a],                   # SRC_INV_AMOUNT
+            state.agent_gained[a],                # SRC_GAINED
+            state.agent_lost[a],                  # SRC_LOST
+            chest_amount,                         # SRC_CHEST_AMOUNT
+            state.game_chest_deposited,           # SRC_CHEST_DEPOSITED
+            state.game_chest_withdrawn,           # SRC_CHEST_WITHDRAWN
+            state.agent_chest_deposited[a],       # SRC_CHEST_DEPOSITED_BY_AGENT
+            state.game_asm_created,               # SRC_ASM_CREATED
+        ])  # [9, R]
+
+    def one(a):
+        table = per_agent_tables(a)  # [9, R]
+        vals = table[src[a], idx[a]].astype(jnp.float32)  # [S]
+        contrib = jnp.minimum(vals * tables.stat_w[a], tables.stat_max[a])
+        return jnp.sum(contrib)
+
+    new_level = jax.vmap(one)(jnp.arange(A))  # [A]
+    delta = new_level - state.agent_current_stat_reward
+    return state.replace(
+        reward=state.reward + delta,
+        agent_current_stat_reward=new_level,
+    )
+
+
+def agents_update_vec(state, tables, r, deltas, do):
+    """Vectorized per-agent inventory update of resource r (independent agents)."""
+    def upd(a, inv, delta, d):
+        cls = tables.agent_inv_class[a]
+        new_inv, actual = inv_update(tables.inv_tables, cls, inv, r, delta)
+        actual = jnp.where(d, actual, 0)
+        new_inv = jnp.where(d, new_inv, inv)
+        return new_inv, actual
+
+    new_invs, actuals = jax.vmap(upd)(
+        jnp.arange(tables.num_agents), state.agent_inv, deltas, do
+    )
+    gained = jnp.where(actuals > 0, actuals, 0)
+    lost = jnp.where(actuals < 0, -actuals, 0)
+    return state.replace(
+        agent_inv=new_invs,
+        agent_gained=state.agent_gained.at[:, r].add(gained),
+        agent_lost=state.agent_lost.at[:, r].add(lost),
+    ), actuals
+
+
+def apply_regen(state, tables):
+    """Vibe-keyed inventory regeneration on the configured interval."""
+    interval = tables.inventory_regen_interval
+    tick = (state.step % interval) == 0
+    vibes = jnp.clip(state.agent_vibe, 0, tables.num_vibes - 1)
+    amounts = tables.agent_regen[jnp.arange(tables.num_agents), vibes]  # [A, R]
+    do = tick & tables.agent_has_regen
+
+    def body(r, st):
+        st, _ = agents_update_vec(st, tables, r, amounts[:, r], do & (amounts[:, r] != 0))
+        return st
+
+    return jax.lax.fori_loop(0, tables.num_resources, body, state)
+
+
+def apply_damage(state, tables, key):
+    """Threshold-triggered weighted-random resource destruction (per agent)."""
+    A = tables.num_agents
+    R = tables.num_resources
+
+    thr = tables.agent_damage_threshold
+    thr_mask = tables.agent_damage_thresh_mask
+    triggered = tables.agent_damage_enabled & jnp.all(
+        ~thr_mask | (state.agent_inv >= thr), axis=1
+    )  # [A]
+
+    # subtract thresholds (sequential over r to respect shared limits)
+    def sub_body(r, st):
+        st, _ = agents_update_vec(
+            st, tables, r, -thr[:, r], triggered & thr_mask[:, r] & (thr[:, r] > 0)
+        )
+        return st
+
+    state = jax.lax.fori_loop(0, R, sub_body, state)
+
+    # weighted pick of one removable resource per triggered agent
+    removable = jnp.where(
+        tables.agent_damage_res_mask,
+        state.agent_inv - tables.agent_damage_res_min,
+        0,
+    )
+    removable = jnp.maximum(removable, 0)  # [A, R]
+    has_any = jnp.any(removable > 0, axis=1) & triggered
+    logw = jnp.where(removable > 0, jnp.log(removable.astype(jnp.float32)), -jnp.inf)
+    gumbel = jax.random.gumbel(key, (A, R))
+    pick = jnp.argmax(logw + gumbel, axis=1)  # [A]
+
+    def destroy_body(a, st):
+        r = pick[a]
+        do = has_any[a]
+        inv = st.agent_inv[a]
+        cls = tables.agent_inv_class[a]
+        new_inv, actual = inv_update(tables.inv_tables, cls, inv, r, -1)
+        new_inv = jnp.where(do, new_inv, inv)
+        lost = jnp.where(do & (actual < 0), -actual, 0)
+        return st.replace(
+            agent_inv=st.agent_inv.at[a].set(new_inv),
+            agent_lost=st.agent_lost.at[a, r].add(lost),
+        )
+
+    state = jax.lax.fori_loop(0, A, destroy_body, state)
+    return state

@@ -1,0 +1,69 @@
+"""Device-side view of a CompiledConfig.
+
+``Tables`` mirrors every field of :class:`CompiledConfig`, with numpy arrays
+converted to ``jnp`` device constants (closed over by the jitted step — XLA
+folds them into the executable). Static Python ints/bools stay plain so they
+drive trace-time specialization (whole subsystems vanish from the HLO when a
+config doesn't use them).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from metta_tpu.engine.compiler import CompiledConfig
+
+
+class Tables:
+    """CompiledConfig with arrays on device. Attribute-compatible."""
+
+    def __init__(self, cfg: CompiledConfig):
+        self._cfg = cfg
+        for f in dataclasses.fields(cfg):
+            v = getattr(cfg, f.name)
+            if isinstance(v, np.ndarray):
+                v = jnp.asarray(v)
+            setattr(self, f.name, v)
+        # [C, R]: is resource r a limit modifier for any group of class c?
+        self.inv_is_modifier = jnp.asarray((cfg.inv_group_mod != 0).any(axis=1))
+
+    @property
+    def inv_tables(self):
+        """(res_group, group_base, group_mod) triple for inventory ops."""
+        return (self.inv_res_group, self.inv_group_base, self.inv_group_mod)
+
+    @property
+    def has_assemblers(self) -> bool:
+        return bool(np.any(self._cfg.type_kind == 3))
+
+    @property
+    def has_chests(self) -> bool:
+        return bool(np.any(self._cfg.type_kind == 4))
+
+    @property
+    def has_attack(self) -> bool:
+        return bool(self._cfg.attack_vibe_mask.any())
+
+    @property
+    def has_transfer(self) -> bool:
+        return bool(self._cfg.transfer_vibe_mask.any())
+
+    @property
+    def has_damage(self) -> bool:
+        return bool(self._cfg.agent_damage_enabled.any())
+
+    @property
+    def has_regen(self) -> bool:
+        return self._cfg.inventory_regen_interval > 0 and bool(self._cfg.agent_has_regen.any())
+
+    @property
+    def has_swap(self) -> bool:
+        # Swapping only matters when agents can be frozen.
+        return self.has_attack or bool((self._cfg.agent_freeze_duration != 0).any())
+
+    @property
+    def has_mods(self) -> bool:
+        return bool(self._cfg.inv_class_has_mods.any())
