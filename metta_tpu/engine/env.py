@@ -173,3 +173,38 @@ class MettaGridEnv:
 
     def episode_rewards(self, e: int = 0):
         return np.asarray(self._state.env.episode_reward[e])
+
+    def resource_id(self, name: str) -> int:
+        return self.compiled.resource_names.index(name)
+
+    def vibe_id(self, name: str) -> int:
+        return self.compiled.vibe_names.index(name)
+
+    def set_agent_inventory(self, agent: int, inventory: dict, e: int = 0):
+        """Debug/test hook (parity: MettaGrid::set_inventory, bindings:959-965).
+
+        Replaces the agent's inventory with the given {resource_name: amount}.
+        """
+        inv = self._state.env.agent_inv
+        row = np.zeros((self.compiled.num_resources,), np.int32)
+        for name, amt in inventory.items():
+            row[self.resource_id(name)] = amt
+        inv = inv.at[e, agent].set(jnp.asarray(row))
+        self._state = self._state.replace(env=self._state.env.replace(agent_inv=inv))
+
+    def agent_inventory(self, agent: int, e: int = 0) -> dict:
+        row = np.asarray(self._state.env.agent_inv[e, agent])
+        return {
+            n: int(row[i]) for i, n in enumerate(self.compiled.resource_names) if row[i] != 0
+        }
+
+    def set_agent_vibe(self, agent: int, vibe, e: int = 0):
+        v = self.vibe_id(vibe) if isinstance(vibe, str) else int(vibe)
+        vibes = self._state.env.agent_vibe.at[e, agent].set(v)
+        self._state = self._state.replace(env=self._state.env.replace(agent_vibe=vibes))
+
+    def chest_inventory(self, chest: int = 0, e: int = 0) -> dict:
+        row = np.asarray(self._state.env.chest_inv[e, chest])
+        return {
+            n: int(row[i]) for i, n in enumerate(self.compiled.resource_names) if row[i] != 0
+        }

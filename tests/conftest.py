@@ -1,13 +1,15 @@
-"""Test configuration: run JAX on a virtual multi-device CPU backend.
+"""Test configuration: force JAX onto a virtual multi-device CPU backend.
 
-Tiny shapes compile much faster on CPU, and the 8 virtual devices let the
-multi-chip sharding tests run without TPU hardware (SURVEY.md §4: the TPU
-build tests distribution via ``xla_force_host_platform_device_count``).
+The ambient environment selects a single exclusively-locked TPU
+(``JAX_PLATFORMS=axon``) and a sitecustomize hook imports jax at interpreter
+startup, so env vars are too late — we must use ``jax.config.update`` after
+import. Tiny test shapes compile much faster on CPU, and the 8 virtual devices
+let multi-chip sharding tests run without TPU hardware (SURVEY.md §4).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA flags are read lazily at backend init, so setting them here still works.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,3 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 # runs; this cuts repeat test time dramatically.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402 (sitecustomize has already imported it anyway)
+
+jax.config.update("jax_platforms", "cpu")
