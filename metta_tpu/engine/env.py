@@ -120,6 +120,9 @@ class MettaGridEnv:
             )
             return vstate, obs, rewards, done, truncated
 
+        # unjitted cores, composable inside a larger jitted program (trainer)
+        self.reset_core = reset_batch
+        self.step_core = step_batch
         self._reset_fn = jax.jit(reset_batch)
         self._step_fn = jax.jit(step_batch)
         self._state: Optional[VecEnvState] = None
