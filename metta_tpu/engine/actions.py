@@ -58,13 +58,19 @@ def try_attack(state, tables, a, tgt, mask):
         )
         blocked = valid & can_defend
         # blocked: target pays the defense cost (attack.hpp:200-207)
-        def pay_body(r, st):
-            st, _ = agent_update(
-                st, tables, t, r, -required[r], blocked & tables.attack_defense_mask[r]
-            )
-            return st
+        if tables.inv_vector_ok:
+            from metta_tpu.engine.inventory_vec import agent_update_multi
 
-        state = jax.lax.fori_loop(0, tables.num_resources, pay_body, state)
+            deltas = jnp.where(tables.attack_defense_mask, -required, 0)
+            state, _ = agent_update_multi(state, tables, t, deltas, blocked)
+        else:
+            def pay_body(r, st):
+                st, _ = agent_update(
+                    st, tables, t, r, -required[r], blocked & tables.attack_defense_mask[r]
+                )
+                return st
+
+            state = jax.lax.fori_loop(0, tables.num_resources, pay_body, state)
     else:
         blocked = jnp.bool_(False)
 
@@ -76,31 +82,55 @@ def try_attack(state, tables, a, tgt, mask):
         )
 
     # actor / target inventory deltas (ascending resource id)
-    def delta_body(r, st):
-        st, _ = agent_update(st, tables, a, r, tables.attack_actor_delta[r],
-                             hit & (tables.attack_actor_delta[r] != 0))
-        st, _ = agent_update(st, tables, t, r, tables.attack_target_delta[r],
-                             hit & (tables.attack_target_delta[r] != 0))
-        return st
-
     if bool((tables._cfg.attack_actor_delta != 0).any() or (tables._cfg.attack_target_delta != 0).any()):
-        state = jax.lax.fori_loop(0, tables.num_resources, delta_body, state)
+        if tables.inv_vector_ok:
+            from metta_tpu.engine.inventory_vec import agent_update_multi
+
+            state, _ = agent_update_multi(state, tables, a, tables.attack_actor_delta, hit)
+            state, _ = agent_update_multi(state, tables, t, tables.attack_target_delta, hit)
+        else:
+            def delta_body(r, st):
+                st, _ = agent_update(st, tables, a, r, tables.attack_actor_delta[r],
+                                     hit & (tables.attack_actor_delta[r] != 0))
+                st, _ = agent_update(st, tables, t, r, tables.attack_target_delta[r],
+                                     hit & (tables.attack_target_delta[r] != 0))
+                return st
+
+            state = jax.lax.fori_loop(0, tables.num_resources, delta_body, state)
 
     # loot: steal everything the target holds, capped by actor capacity
+    # (config order matters for capacity spillover — attack.hpp:216-223)
     for r_loot in tables._cfg.attack_loot_ids.tolist():
         amount = state.agent_inv[t, r_loot]
         do = hit & (amount > 0)
-        state, stolen = agent_update(state, tables, a, r_loot, amount, do)
-        state, _ = agent_update(state, tables, t, r_loot, -stolen, do)
+        if tables.inv_vector_ok:
+            from metta_tpu.engine.inventory_vec import row_limits
+
+            lim = row_limits(tables, tables.agent_inv_class[a], state.agent_inv[a])[r_loot]
+            new_a = jnp.minimum(state.agent_inv[a, r_loot] + amount, lim)
+            stolen = jnp.where(do, new_a - state.agent_inv[a, r_loot], 0)
+            state = state.replace(
+                agent_inv=state.agent_inv.at[a, r_loot].add(stolen).at[t, r_loot].add(-stolen),
+                agent_gained=state.agent_gained.at[a, r_loot].add(stolen),
+                agent_lost=state.agent_lost.at[t, r_loot].add(stolen),
+            )
+        else:
+            state, stolen = agent_update(state, tables, a, r_loot, amount, do)
+            state, _ = agent_update(state, tables, t, r_loot, -stolen, do)
 
     # consume attack cost from actor (on success, incl. blocked)
-    def consume_body(r, st):
-        st, _ = agent_update(st, tables, a, r, -tables.attack_consumed[r],
-                             valid & (tables.attack_consumed[r] > 0))
-        return st
-
     if bool((tables._cfg.attack_consumed != 0).any()):
-        state = jax.lax.fori_loop(0, tables.num_resources, consume_body, state)
+        if tables.inv_vector_ok:
+            from metta_tpu.engine.inventory_vec import agent_update_multi
+
+            state, _ = agent_update_multi(state, tables, a, -tables.attack_consumed, valid)
+        else:
+            def consume_body(r, st):
+                st, _ = agent_update(st, tables, a, r, -tables.attack_consumed[r],
+                                     valid & (tables.attack_consumed[r] > 0))
+                return st
+
+            state = jax.lax.fori_loop(0, tables.num_resources, consume_body, state)
 
     return valid, state
 
@@ -117,25 +147,37 @@ def try_transfer(state, tables, a, tgt, mask):
     has_required = jnp.all(state.agent_inv[a] >= tables.transfer_required)
     valid = mask & (tgt >= 0) & (state.agent_frozen[t] <= 0) & has_required
 
-    free_a = agent_free_space_vec(state, tables, a)
-    free_t = agent_free_space_vec(state, tables, t)
+    if tables.inv_vector_ok:
+        from metta_tpu.engine.inventory_vec import agent_update_multi, row_limits
+
+        lim_a = row_limits(tables, tables.agent_inv_class[a], state.agent_inv[a])
+        lim_t = row_limits(tables, tables.agent_inv_class[t], state.agent_inv[t])
+        free_a = jnp.maximum(lim_a - state.agent_inv[a], 0)
+        free_t = jnp.maximum(lim_t - state.agent_inv[t], 0)
+    else:
+        free_a = agent_free_space_vec(state, tables, a)
+        free_t = agent_free_space_vec(state, tables, t)
     ok = valid
     ok = ok & jnp.all((d_actor >= 0) | (state.agent_inv[a] >= -d_actor))
     ok = ok & jnp.all((d_target >= 0) | (state.agent_inv[t] >= -d_target))
     ok = ok & jnp.all((d_actor <= 0) | (d_actor <= free_a))
     ok = ok & jnp.all((d_target <= 0) | (d_target <= free_t))
 
-    def apply_body(r, st):
-        st, _ = agent_update(st, tables, a, r, d_actor[r], ok & (d_actor[r] != 0))
-        return st
+    if tables.inv_vector_ok:
+        state, _ = agent_update_multi(state, tables, a, d_actor, ok)
+        state, _ = agent_update_multi(state, tables, t, d_target, ok)
+    else:
+        def apply_body(r, st):
+            st, _ = agent_update(st, tables, a, r, d_actor[r], ok & (d_actor[r] != 0))
+            return st
 
-    state = jax.lax.fori_loop(0, R, apply_body, state)
+        state = jax.lax.fori_loop(0, R, apply_body, state)
 
-    def apply_body_t(r, st):
-        st, _ = agent_update(st, tables, t, r, d_target[r], ok & (d_target[r] != 0))
-        return st
+        def apply_body_t(r, st):
+            st, _ = agent_update(st, tables, t, r, d_target[r], ok & (d_target[r] != 0))
+            return st
 
-    state = jax.lax.fori_loop(0, R, apply_body_t, state)
+        state = jax.lax.fori_loop(0, R, apply_body_t, state)
     return ok, state
 
 
@@ -151,6 +193,26 @@ def chest_use(state, tables, a, chest_idx, mask):
     ok = mask & has
 
     from metta_tpu.engine.refs import chest_update
+
+    if tables.inv_vector_ok:
+        from metta_tpu.engine.inventory_vec import agent_update_multi, chest_update_multi
+
+        # deposits: agent → chest, source loses what it offered (destroy
+        # untransferred), chest receives what fits
+        give_dep = jnp.where(deltas > 0, jnp.minimum(state.agent_inv[a], deltas), 0)
+        state, got_dep = chest_update_multi(state, tables, i, give_dep, ok)
+        state, _ = agent_update_multi(state, tables, a, -give_dep, ok)
+        state = state.replace(
+            agent_chest_deposited=state.agent_chest_deposited.at[a].add(
+                jnp.maximum(got_dep, 0)
+            )
+        )
+        # withdrawals: chest → agent
+        give_w = jnp.where(deltas < 0, jnp.minimum(state.chest_inv[i], -deltas), 0)
+        state, got_w = agent_update_multi(state, tables, a, give_w, ok)
+        state, _ = chest_update_multi(state, tables, i, -give_w, ok)
+        any_transfer = jnp.any(got_dep > 0) | jnp.any(got_w > 0)
+        return ok & any_transfer, state
 
     def body(r, carry):
         st, any_tr = carry
@@ -303,14 +365,21 @@ def apply_agent_action(state, tables, a, action_idx):
 
     # consume the action's own resources on success
     if bool((tables._cfg.action_consumed != 0).any()):
-        def consume_body(r, st):
-            st, _ = agent_update(
-                st, tables, a, r, -tables.action_consumed[act, r],
-                success & (tables.action_consumed[act, r] > 0),
-            )
-            return st
+        if tables.inv_vector_ok:
+            from metta_tpu.engine.inventory_vec import agent_update_multi
 
-        state = jax.lax.fori_loop(0, tables.num_resources, consume_body, state)
+            state, _ = agent_update_multi(
+                state, tables, a, -tables.action_consumed[act], success
+            )
+        else:
+            def consume_body(r, st):
+                st, _ = agent_update(
+                    st, tables, a, r, -tables.action_consumed[act, r],
+                    success & (tables.action_consumed[act, r] > 0),
+                )
+                return st
+
+            state = jax.lax.fori_loop(0, tables.num_resources, consume_body, state)
 
     state = state.replace(
         action_success=state.action_success.at[a].set(success),

@@ -168,15 +168,34 @@ def assembler_use(state, tables, a, asm_idx, mask):
     )
 
     # --- receive check (assembler.hpp:146-178) ---
-    out_frees = jax.vmap(
-        lambda k, ix: jax.vmap(lambda r: ref_free(state, tables, k, ix, r))(jnp.arange(R))
-    )(out_kind, out_idx)  # [8, R]
+    if tables.inv_vector_ok:
+        from metta_tpu.engine.inventory_vec import _ref_rows
+
+        o_rows, o_lims = _ref_rows(state, tables, out_kind, out_idx)
+        out_frees = jnp.maximum(o_lims - o_rows, 0)  # [8, R]
+    else:
+        out_frees = jax.vmap(
+            lambda k, ix: jax.vmap(lambda r: ref_free(state, tables, k, ix, r))(jnp.arange(R))
+        )(out_kind, out_idx)  # [8, R]
     total_free = jnp.sum(jnp.where(out_valid[:, None], out_frees, 0), axis=0)  # [R]
     has_output = jnp.any(outputs > 0)
     can_absorb = jnp.any((outputs > 0) & (total_free >= 1))
     ok = ok & (~has_output | can_absorb | clipped)
 
     # --- consume inputs + distribute outputs via shared_update ---
+    if tables.inv_vector_ok:
+        from metta_tpu.engine.inventory_vec import shared_update_multi
+
+        state, _ = shared_update_multi(
+            state, tables, ref_kind, ref_idx, ref_valid, -inputs, ok
+        )
+        state, dist = shared_update_multi(
+            state, tables, out_kind, out_idx, out_valid, outputs, ok
+        )
+        created = jnp.maximum(dist, 0)
+        state = state.replace(game_asm_created=state.game_asm_created + created)
+        return _finish(state, tables, i, ok, clipped, cooldown)
+
     def mk_ops(kinds, idxs, item):
         def amounts(st, j):
             return ref_amount(st, tables, kinds[j], idxs[j], item)
@@ -210,8 +229,12 @@ def assembler_use(state, tables, a, asm_idx, mask):
     state, created = jax.lax.fori_loop(
         0, R, give_body, (state, jnp.zeros((R,), jnp.int32))
     )
+    state = state.replace(game_asm_created=state.game_asm_created + created)
+    return _finish(state, tables, i, ok, clipped, cooldown)
 
-    # --- cooldown / uses / unclip ---
+
+def _finish(state, tables, i, ok, clipped, cooldown):
+    """Cooldown / uses / unclip bookkeeping after a (possibly masked) use."""
     new_cd_duration = jnp.where(ok, cooldown, state.asm_cooldown_duration[i])
     new_cd_end = jnp.where(ok, state.step + cooldown, state.asm_cooldown_end[i])
     unclip_now = ok & clipped
@@ -224,6 +247,5 @@ def assembler_use(state, tables, a, asm_idx, mask):
         asm_unclip_proto=state.asm_unclip_proto.at[i].set(
             jnp.where(unclip_now, -1, state.asm_unclip_proto[i])
         ),
-        game_asm_created=state.game_asm_created + created,
     )
     return ok, state

@@ -180,8 +180,27 @@ def build_chest_blocks(state, tables):
     return jnp.stack([feats, vals], axis=-1), ok
 
 
+def _compact_blocks(blocks, oks):
+    """Move each block's valid tokens to the front (stable) + per-block count.
+
+    blocks [N, K, 2], oks [N, K] → (compacted [N, K, 2], counts [N]).
+    Token *order* within a block is preserved, so output token order is
+    identical to sequential emission.
+    """
+    order = jnp.argsort(jnp.where(oks, 0, 1), axis=1, stable=True)  # [N, K]
+    compacted = jnp.take_along_axis(blocks, order[..., None], axis=1)
+    counts = jnp.sum(oks.astype(jnp.int32), axis=1)
+    return compacted, counts
+
+
 def render_observations(state, tables, executed_actions, rewards_at_obs):
-    """Render all agents' token observations → [A, T, 3] uint8."""
+    """Render all agents' token observations → [A, T, 3] uint8.
+
+    Gather-based compaction (TPU-native): per-object token blocks are built
+    once per step and compacted; each agent's render is then
+    cell-count prefix sums + per-output-slot ``searchsorted`` gathers — no
+    large scatters and no [cells × K] intermediates.
+    """
     A = tables.num_agents
     T = tables.num_obs_tokens
     K = tables.max_tokens_per_cell
@@ -208,6 +227,7 @@ def render_observations(state, tables, executed_actions, rewards_at_obs):
     none_ok = jnp.zeros((1, K), bool)
     blocks = jnp.concatenate([none_block, agent_blocks, wall_blocks, asm_blocks, chest_blocks])
     oks = jnp.concatenate([none_ok, agent_ok, wall_ok, asm_ok, chest_ok])
+    blocks_c, block_counts = _compact_blocks(blocks, oks)
     off_agent = 1
     off_wall = 1 + A
     off_asm = off_wall + tables.n_object_types
@@ -217,6 +237,7 @@ def render_observations(state, tables, executed_actions, rewards_at_obs):
     scan_dr = tables.scan_dr
     scan_dc = tables.scan_dc
     loc_bytes = ((scan_dr + ohr) << 4) | (scan_dc + owr)  # [S]
+    S = int(loc_bytes.shape[0])
 
     map_center_r, map_center_c = H // 2, W // 2
 
@@ -274,6 +295,13 @@ def render_observations(state, tables, executed_actions, rewards_at_obs):
         g_vals = jnp.stack(g_vals)
         g_ok = jnp.stack(g_ok)
         g_loc = jnp.stack(g_loc)
+        G = int(g_feats.shape[0])
+        # compact globals to the front (stable)
+        g_order = jnp.argsort(jnp.where(g_ok, 0, 1), stable=True)
+        g_feats = g_feats[g_order]
+        g_vals = g_vals[g_order]
+        g_loc = g_loc[g_order]
+        g_count = jnp.sum(g_ok.astype(jnp.int32))
 
         # ---- window cells in center-out order ----
         rr = ar + scan_dr
@@ -301,23 +329,33 @@ def render_observations(state, tables, executed_actions, rewards_at_obs):
                 ),
             ),
         )
-        cell_tokens = blocks[block_idx]          # [S, K, 2]
-        cell_ok = oks[block_idx]                 # [S, K]
-        cell_loc = jnp.broadcast_to(loc_bytes[:, None], cell_ok.shape)
+        cell_counts = block_counts[block_idx]                 # [S]
+        cum = jnp.cumsum(cell_counts)                         # inclusive, [S]
+        cum_excl = cum - cell_counts
+        total_cells = cum[-1]
 
-        # ---- flatten & compact ----
-        feats = jnp.concatenate([g_feats, cell_tokens[..., 0].reshape(-1)])
-        vals = jnp.concatenate([g_vals, cell_tokens[..., 1].reshape(-1)])
-        ok = jnp.concatenate([g_ok, cell_ok.reshape(-1)])
-        locs = jnp.concatenate([g_loc, cell_loc.reshape(-1)])
+        # ---- per-output-slot gather ----
+        t_idx = jnp.arange(T)
+        tp = t_idx - g_count                                  # object-token index
+        seg = jnp.searchsorted(cum, tp, side="right")         # [T] ∈ [0, S]
+        seg_c = jnp.clip(seg, 0, S - 1)
+        j = jnp.clip(tp - cum_excl[seg_c], 0, K - 1)
+        b_idx = block_idx[seg_c]
+        obj_tok = blocks_c[b_idx, j]                          # [T, 2]
+        obj_loc = loc_bytes[seg_c]
+        obj_valid = (tp >= 0) & (tp < total_cells)
 
-        pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
-        pos = jnp.where(ok, pos, T)  # invalid → dropped by scatter
-        out = jnp.full((T, 3), EMPTY, jnp.uint8)
-        tok3 = jnp.stack(
-            [locs.astype(jnp.uint8), feats.astype(jnp.uint8), vals.astype(jnp.uint8)], axis=-1
+        g_j = jnp.clip(t_idx, 0, G - 1)
+        is_global = t_idx < g_count
+        feats = jnp.where(is_global, g_feats[g_j], obj_tok[:, 0])
+        vals = jnp.where(is_global, g_vals[g_j], obj_tok[:, 1])
+        locs = jnp.where(is_global, g_loc[g_j], obj_loc)
+        valid = is_global | obj_valid
+
+        out = jnp.stack(
+            [locs.astype(jnp.uint8), feats.astype(jnp.uint8), vals.astype(jnp.uint8)],
+            axis=-1,
         )
-        out = out.at[pos].set(tok3, mode="drop")
-        return out
+        return jnp.where(valid[:, None], out, jnp.uint8(EMPTY))
 
     return jax.vmap(render_one)(jnp.arange(A))

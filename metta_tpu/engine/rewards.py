@@ -97,6 +97,14 @@ def apply_regen(state, tables):
     amounts = tables.agent_regen[jnp.arange(tables.num_agents), vibes]  # [A, R]
     do = tick & tables.agent_has_regen
 
+    if tables.inv_vector_ok:
+        from metta_tpu.engine.inventory_vec import all_agents_update_multi
+
+        state, _ = all_agents_update_multi(
+            state, tables, amounts, do[:, None] & (amounts != 0)
+        )
+        return state
+
     def body(r, st):
         st, _ = agents_update_vec(st, tables, r, amounts[:, r], do & (amounts[:, r] != 0))
         return st
@@ -116,13 +124,20 @@ def apply_damage(state, tables, key):
     )  # [A]
 
     # subtract thresholds (sequential over r to respect shared limits)
-    def sub_body(r, st):
-        st, _ = agents_update_vec(
-            st, tables, r, -thr[:, r], triggered & thr_mask[:, r] & (thr[:, r] > 0)
-        )
-        return st
+    if tables.inv_vector_ok:
+        from metta_tpu.engine.inventory_vec import all_agents_update_multi
 
-    state = jax.lax.fori_loop(0, R, sub_body, state)
+        deltas = jnp.broadcast_to(-thr, (A, R))
+        do = triggered[:, None] & thr_mask & (thr > 0)
+        state, _ = all_agents_update_multi(state, tables, deltas, do)
+    else:
+        def sub_body(r, st):
+            st, _ = agents_update_vec(
+                st, tables, r, -thr[:, r], triggered & thr_mask[:, r] & (thr[:, r] > 0)
+            )
+            return st
+
+        state = jax.lax.fori_loop(0, R, sub_body, state)
 
     # weighted pick of one removable resource per triggered agent
     removable = jnp.where(
@@ -135,6 +150,15 @@ def apply_damage(state, tables, key):
     logw = jnp.where(removable > 0, jnp.log(removable.astype(jnp.float32)), -jnp.inf)
     gumbel = jax.random.gumbel(key, (A, R))
     pick = jnp.argmax(logw + gumbel, axis=1)  # [A]
+
+    if tables.inv_vector_ok:
+        onehot = jax.nn.one_hot(pick, R, dtype=jnp.int32)  # [A, R]
+        from metta_tpu.engine.inventory_vec import all_agents_update_multi
+
+        state, _ = all_agents_update_multi(
+            state, tables, -onehot, has_any[:, None] & (onehot > 0)
+        )
+        return state
 
     def destroy_body(a, st):
         r = pick[a]

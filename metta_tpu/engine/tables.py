@@ -29,6 +29,16 @@ class Tables:
             setattr(self, f.name, v)
         # [C, R]: is resource r a limit modifier for any group of class c?
         self.inv_is_modifier = jnp.asarray((cfg.inv_group_mod != 0).any(axis=1))
+        # Fast-path gate: multi-resource inventory updates are exactly
+        # order-independent when every limit group is a single resource and
+        # there are no limit modifiers. (Shared groups / modifiers couple
+        # resources, so those configs use the sequential per-item path.)
+        singleton = True
+        for c in range(cfg.inv_res_group.shape[0]):
+            groups, counts = np.unique(cfg.inv_res_group[c], return_counts=True)
+            if (counts > 1).any():
+                singleton = False
+        self.inv_vector_ok = singleton and not bool(cfg.inv_group_mod.any())
 
     @property
     def inv_tables(self):
