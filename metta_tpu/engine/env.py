@@ -69,13 +69,11 @@ class MettaGridEnv:
         tables = self.tables
         init = self._init
 
-        def reset_one(key) -> EnvState:
-            return make_initial_state(tables, init, key)
+        from metta_tpu.engine.step import make_reset_batch
 
         def reset_batch(key):
             keys = jax.random.split(key, num_envs)
-            env = jax.vmap(reset_one)(keys)
-            obs = jax.vmap(lambda s: initial_observations(s, tables))(env)
+            env, obs = make_reset_batch(tables, init, keys)
             if self.desync and tables.max_steps > 0:
                 desync = jax.random.randint(
                     jax.random.fold_in(key, 1), (num_envs,), 1, tables.max_steps
@@ -103,15 +101,14 @@ class MettaGridEnv:
             )
 
             # auto-reset ended envs (fresh key from the env's chain)
-            fresh = jax.vmap(lambda s: make_initial_state(tables, init, s.key))(env)
+            fresh, fresh_obs = make_reset_batch(tables, init, env.key)
             env = jax.tree.map(
                 lambda new, old: jnp.where(
                     jnp.reshape(ended, (-1,) + (1,) * (old.ndim - 1)), new, old
                 ),
                 fresh, env,
             )
-            reset_obs = jax.vmap(lambda s: initial_observations(s, tables))(env)
-            obs = jnp.where(ended[:, None, None, None], reset_obs, obs)
+            obs = jnp.where(ended[:, None, None, None], fresh_obs, obs)
             vstate = VecEnvState(
                 env=env,
                 desync_step=jnp.where(ended, 0, vstate.desync_step),

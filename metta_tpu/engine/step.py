@@ -86,6 +86,36 @@ def make_initial_state(tables: Tables, init: dict, key) -> EnvState:
     )
 
 
+def make_reset_batch(tables: Tables, init: dict, keys):
+    """Batched reset: one template state + obs, broadcast over the env batch.
+
+    All per-env initial state is identical except the PRNG key (and, for
+    start-clipped assemblers, the per-env unclip-protocol draw), so the
+    template is computed once — O(1) compile and runtime in the batch size.
+    keys: [E, 2] uint32. Returns (batched EnvState, batched obs).
+    """
+    E = keys.shape[0]
+    template = make_initial_state(tables, init, jnp.zeros((2,), jnp.uint32))
+    obs1 = initial_observations(template, tables)
+    state = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (E,) + x.shape), template
+    )
+    state = state.replace(key=jax.vmap(lambda k: jax.random.split(k)[0])(keys))
+    if tables.clipper_enabled and bool(init["asm_start_clipped"].any()):
+        NA = tables.n_assembler_slots
+        start_clipped = jnp.broadcast_to(jnp.asarray(init["asm_start_clipped"])[None], (E, NA))
+        protos = jax.vmap(
+            lambda k: jax.random.randint(
+                jax.random.split(k)[1], (NA,), 0, max(tables.n_unclip_protocols, 1)
+            )
+        )(keys)
+        state = state.replace(
+            asm_unclip_proto=jnp.where(start_clipped, protos, -1)
+        )
+    obs = jnp.broadcast_to(obs1[None], (E,) + obs1.shape)
+    return state, obs
+
+
 def initial_observations(state: EnvState, tables: Tables):
     """Reset-time observations: every agent starts with a noop (mettagrid_c.cpp:285-288)."""
     A = tables.num_agents
