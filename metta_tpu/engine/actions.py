@@ -241,7 +241,11 @@ def chest_use(state, tables, a, chest_idx, mask):
 
 
 def do_move(state, tables, a, dir_arg, mask):
-    """Move with vibe overrides, swap, and bump-to-use (move.hpp:76-148)."""
+    """Move with vibe overrides, swap, and bump-to-use (move.hpp:76-148).
+
+    Occupancy is derived from agent positions (``agent_at``), not a mutable
+    grid — the loop-carried state stays small and update-in-place.
+    """
     H, W = tables.height, tables.width
     delta = tables.move_deltas[jnp.clip(dir_arg, 0, 7)]
     r0, c0 = state.agent_r[a], state.agent_c[a]
@@ -250,7 +254,10 @@ def do_move(state, tables, a, dir_arg, mask):
     rs, cs = jnp.clip(r1, 0, H - 1), jnp.clip(c1, 0, W - 1)
     mask = mask & in_bounds
 
-    tgt_agent = jnp.where(state.agent_grid[rs, cs] > 0, state.agent_grid[rs, cs] - 1, -1)
+    from metta_tpu.engine.protocols import agent_at
+
+    occ, occ_idx = agent_at(state, rs[None], cs[None])
+    tgt_agent = jnp.where(occ[0], occ_idx[0], -1)
     skind = state.static_kind[rs, cs]
     sidx = state.static_idx[rs, cs]
     vibe = jnp.clip(state.agent_vibe[a], 0, tables.num_vibes - 1)
@@ -275,11 +282,7 @@ def do_move(state, tables, a, dir_arg, mask):
     # 3) plain move into empty cell
     empty = (tgt_agent < 0) & (skind == 0)
     move_ok = mask & ~handled & empty
-    new_grid = state.agent_grid
-    new_grid = new_grid.at[r0, c0].set(jnp.where(move_ok, 0, new_grid[r0, c0]))
-    new_grid = new_grid.at[rs, cs].set(jnp.where(move_ok, a + 1, new_grid[rs, cs]))
     state = state.replace(
-        agent_grid=new_grid,
         agent_r=_masked_set(state.agent_r, a, r1, move_ok),
         agent_c=_masked_set(state.agent_c, a, c1, move_ok),
     )
@@ -290,11 +293,7 @@ def do_move(state, tables, a, dir_arg, mask):
     if tables.has_swap:
         t = jnp.clip(tgt_agent, 0, tables.num_agents - 1)
         swap_ok = mask & ~handled & (tgt_agent >= 0) & (state.agent_frozen[t] > 0)
-        g = state.agent_grid
-        g = g.at[r0, c0].set(jnp.where(swap_ok, t + 1, g[r0, c0]))
-        g = g.at[rs, cs].set(jnp.where(swap_ok, a + 1, g[rs, cs]))
         state = state.replace(
-            agent_grid=g,
             agent_r=_masked_set(state.agent_r, a, r1, swap_ok),
             agent_c=_masked_set(state.agent_c, a, c1, swap_ok),
         )

@@ -15,6 +15,22 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def agent_at(state, rr, cc):
+    """(is_agent, agent_idx) of the occupant of cell(s) (rr, cc).
+
+    Derived by comparing against all agent positions (A-way compare) instead
+    of maintaining a mutable [H, W] occupancy grid in the hot loop — keeps the
+    loop-carried state small so XLA updates stay in-place. rr/cc may be
+    scalars or [N]; agents are assumed at distinct cells.
+    """
+    match = (state.agent_r[None, :] == jnp.asarray(rr)[..., None]) & (
+        state.agent_c[None, :] == jnp.asarray(cc)[..., None]
+    )  # [..., A]
+    is_agent = jnp.any(match, axis=-1)
+    idx = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    return is_agent, idx
+
+
 def surrounding_vibe_key(state, tables, r, c):
     """(key_vec [8], n_agents) for the 8 cells around (r, c).
 
@@ -29,11 +45,8 @@ def surrounding_vibe_key(state, tables, r, c):
     rr = r + offs[:, 0]
     cc = c + offs[:, 1]
     in_bounds = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
-    rs = jnp.clip(rr, 0, H - 1)
-    cs = jnp.clip(cc, 0, W - 1)
-    a_plus1 = state.agent_grid[rs, cs]
-    is_agent = in_bounds & (a_plus1 > 0)
-    a_idx = jnp.clip(a_plus1 - 1, 0, state.agent_vibe.shape[0] - 1)
+    occ, a_idx = agent_at(state, rr, cc)
+    is_agent = in_bounds & occ
     vibes = jnp.where(is_agent, state.agent_vibe[a_idx], 0)
     key_vec = jnp.sort(vibes)  # ascending; zeros pad the front
     n_agents = jnp.sum(is_agent.astype(jnp.int32))

@@ -145,6 +145,14 @@ def step_env(state: EnvState, actions, tables: Tables):
 
     state = jax.lax.fori_loop(0, A, body, state)
 
+    # Rebuild the occupancy grid once for the observation pass (the action
+    # loop derives occupancy from positions; see actions.do_move).
+    grid = jnp.zeros_like(state.agent_grid)
+    grid = grid.at[state.agent_r, state.agent_c].set(
+        jnp.arange(A, dtype=grid.dtype) + 1
+    )
+    state = state.replace(agent_grid=grid)
+
     if tables.has_regen:
         state = apply_regen(state, tables)
     if tables.has_damage:
