@@ -117,11 +117,19 @@ class MettaGridEnv:
             )
             return vstate, obs, rewards, done, truncated
 
+        def step_batch_no_reset(vstate: VecEnvState, actions):
+            """Evaluation stepping: no auto-reset, terminal state (and its
+            episode stats) stays readable after the episode ends."""
+            env, obs = jax.vmap(lambda s, a: step_env(s, a, tables))(vstate.env, actions)
+            vstate = vstate.replace(env=env)
+            return vstate, obs, env.reward, env.done, env.truncated
+
         # unjitted cores, composable inside a larger jitted program (trainer)
         self.reset_core = reset_batch
         self.step_core = step_batch
         self._reset_fn = jax.jit(reset_batch)
         self._step_fn = jax.jit(step_batch)
+        self._step_no_reset_fn = jax.jit(step_batch_no_reset)
         self._state: Optional[VecEnvState] = None
 
     # ------------------------------------------------------------------
@@ -151,6 +159,19 @@ class MettaGridEnv:
         if actions.ndim == 1:
             actions = actions[None, :]
         self._state, obs, rew, done, trunc = self._step_fn(self._state, actions)
+        return (
+            np.asarray(obs),
+            np.asarray(rew),
+            np.asarray(done),
+            np.asarray(trunc),
+        )
+
+    def step_no_reset(self, actions):
+        assert self._state is not None, "call reset() first"
+        actions = jnp.asarray(actions, jnp.int32)
+        if actions.ndim == 1:
+            actions = actions[None, :]
+        self._state, obs, rew, done, trunc = self._step_no_reset_fn(self._state, actions)
         return (
             np.asarray(obs),
             np.asarray(rew),
