@@ -90,11 +90,12 @@ def make_arena(
     width: Optional[int] = None,
     height: Optional[int] = None,
 ) -> MettaGridConfig:
-    """Stages 3/5: the arena (envs.py:27-98), scaled by agent count."""
+    """Stages 3/5: the arena (envs.py:27-98): MapGen-tiled 25×25 instances of
+    6 agents + the mine/generator/assembler economy."""
+    from metta_tpu.mapgen.mapgen import MapGen
+    from metta_tpu.mapgen.scenes import Random
+
     instances = max(num_agents // 6, 1)
-    side = int((25 * 25 * instances) ** 0.5) + 12
-    width = width or side
-    height = height or side
 
     actions = ActionsConfig(
         noop=NoopActionConfig(),
@@ -125,16 +126,23 @@ def make_arena(
                 ),
                 rewards=AgentRewards(inventory={"heart": 1}),
             ),
-            map_builder=RandomMapBuilder.Config(
-                agents=num_agents, width=width, height=height, border_width=1,
-                objects={
-                    "wall": 10 * instances,
-                    "assembler": 5 * instances,
-                    "mine_red": 10 * instances,
-                    "generator_red": 5 * instances,
-                    "lasery": instances,
-                    "armory": instances,
-                },
+            map_builder=MapGen.Config(
+                num_agents=num_agents,
+                width=width or 25,
+                height=height or 25,
+                border_width=6,
+                instance_border_width=0,
+                instance=Random.Config(
+                    agents=6,
+                    objects={
+                        "wall": 10,
+                        "assembler": 5,
+                        "mine_red": 10,
+                        "generator_red": 5,
+                        "lasery": 1,
+                        "armory": 1,
+                    },
+                ),
             ),
         ),
     )
