@@ -54,9 +54,37 @@ class PPOCriticConfig(Config):
     beta: float = Field(default=1.0, ge=0)
 
 
+class KickstarterConfig(Config):
+    """Teacher-policy distillation (parity: loss/kickstarter.py).
+
+    Adds KL(teacher ‖ student) on minibatch observations, annealed linearly to
+    zero over ``anneal_updates`` (0 = constant).
+    """
+
+    enabled: bool = False
+    teacher_uri: Optional[str] = None
+    action_loss_coef: float = Field(default=1.0, ge=0)
+    value_loss_coef: float = Field(default=0.0, ge=0)
+    anneal_updates: int = Field(default=0, ge=0)
+
+
+class ActionSupervisedConfig(Config):
+    """Behavior cloning on recorded teacher actions (parity: loss/action_supervised.py)."""
+
+    enabled: bool = False
+    coef: float = Field(default=1.0, ge=0)
+
+
 class LossesConfig(Config):
+    """Loss registry (parity: loss/losses.py — PPO actor+critic enabled by
+    default; kickstarter/supervised optional; the reference's remaining
+    specialty losses — cmpo, grpo, quantile critic, contrastive, latent
+    consistency families — are tracked as roadmap items)."""
+
     ppo_actor: PPOActorConfig = Field(default_factory=PPOActorConfig)
     ppo_critic: PPOCriticConfig = Field(default_factory=PPOCriticConfig)
+    kickstarter: KickstarterConfig = Field(default_factory=KickstarterConfig)
+    action_supervised: ActionSupervisedConfig = Field(default_factory=ActionSupervisedConfig)
 
 
 class TrainerConfig(Config):

@@ -113,8 +113,29 @@ class Trainer:
             feature_norms=self.env.compiled.feature_normalizations,
         )
         self.tx = make_optimizer(cfg)
+        self.teacher = None  # (policy, params) for kickstarter distillation
+        if cfg.losses.kickstarter.enabled and cfg.losses.kickstarter.teacher_uri:
+            self._load_teacher(cfg.losses.kickstarter.teacher_uri)
         self._update_jit = jax.jit(self._update, donate_argnums=(0,))
         self.agent_steps = 0
+
+    def _load_teacher(self, uri: str):
+        from metta_tpu.rl.checkpoint import load_policy_bundle, resolve_uri
+
+        params, policy_cfg, _ = load_policy_bundle(resolve_uri(uri))
+        teacher = policy_cfg.make(
+            self.env.compiled.n_actions, self.env.compiled.feature_normalizations
+        )
+        import jax.numpy as _jnp
+
+        obs0 = _jnp.zeros((1, policy_cfg.max_tokens, 3), _jnp.uint8)
+        like = teacher.init(jax.random.PRNGKey(0), obs0, teacher.initial_state(1))
+        params, _, _ = load_policy_bundle(resolve_uri(uri), params_like=like)
+        self.set_teacher(teacher, params)
+
+    def set_teacher(self, policy, params):
+        self.teacher = (policy, params)
+        self._update_jit = jax.jit(self._update, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
 
@@ -254,6 +275,34 @@ class Trainer:
         ent_loss = jnp.mean(entropy)
 
         loss = pg_loss - ac.ent_coef * ent_loss + v_loss
+
+        # kickstarter distillation: KL(teacher ‖ student) (loss/kickstarter.py)
+        ks = cfg.losses.kickstarter
+        if self.teacher is not None and ks.enabled:
+            t_policy, t_params = self.teacher
+            Tn, M = mb["obs"].shape[:2]
+
+            def t_step(core, obs_t):
+                t_logits, t_v, _th, core = t_policy.apply(t_params, obs_t, core)
+                return core, (t_logits, t_v)
+
+            _, (t_logits, t_values) = jax.lax.scan(
+                t_step, t_policy.initial_state(M), mb["obs"]
+            )
+            t_logp = jax.lax.stop_gradient(jax.nn.log_softmax(t_logits))
+            ks_action = jnp.mean(
+                jnp.sum(jnp.exp(t_logp) * (t_logp - logp_all), axis=-1)
+            )
+            ks_value = jnp.mean((jax.lax.stop_gradient(t_values) - value) ** 2)
+            loss = loss + ks.action_loss_coef * ks_action + ks.value_loss_coef * ks_value
+
+        # behavior cloning on recorded teacher actions (loss/action_supervised.py)
+        asup = cfg.losses.action_supervised
+        if asup.enabled and "teacher_actions" in mb:
+            ce = -jnp.take_along_axis(
+                logp_all, mb["teacher_actions"][..., None], axis=2
+            )[..., 0]
+            loss = loss + asup.coef * jnp.mean(ce)
 
         approx_kl = jnp.mean((ratio - 1) - logratio)
         clipfrac = jnp.mean((jnp.abs(ratio - 1.0) > ac.clip_coef).astype(jnp.float32))
