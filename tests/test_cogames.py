@@ -1,0 +1,53 @@
+"""Cogames mission tests: energy economy + clipper integration."""
+
+import numpy as np
+import pytest
+
+from metta_tpu.cogames.missions import make_mission
+from metta_tpu.cogames.scripted import ScriptedBaselineAgent
+from metta_tpu.engine.env import MettaGridEnv
+from metta_tpu.testing import noop_actions
+
+
+@pytest.fixture(scope="module")
+def mission_env():
+    cfg = make_mission("basic", num_agents=2, width=16, height=16, max_steps=100)
+    cfg.desync_episodes = False
+    return MettaGridEnv(cfg, num_envs=1)
+
+
+def test_energy_economy(mission_env):
+    env = mission_env
+    env.reset(seed=0)
+    # agents start at full energy
+    assert env.agent_inventory(0)["energy"] == 100
+    # noop: regen +1 but already capped
+    env.step(noop_actions(env))
+    assert env.agent_inventory(0)["energy"] == 100
+    # move costs 2 energy, regen gives 1 back → net -1
+    move = env.action_names.index("move_south")
+    acts = noop_actions(env)
+    acts[0, :] = move
+    env.step(acts)
+    e = env.agent_inventory(0)["energy"]
+    assert e in (99, 100)  # 99 if move succeeded, 100 if blocked
+
+
+def test_clipped_mission_compiles():
+    cfg = make_mission("clipped", num_agents=2, width=16, height=16, max_steps=50,
+                       with_clipper=True)
+    cfg.desync_episodes = False
+    env = MettaGridEnv(cfg, num_envs=1)
+    env.reset(seed=0)
+    for _ in range(5):
+        env.step(noop_actions(env))
+    assert env.compiled.clipper_enabled
+
+
+def test_scripted_agent_acts(mission_env):
+    env = mission_env
+    obs = env.reset(seed=0)
+    agent = ScriptedBaselineAgent(env, seed=0)
+    acts = agent.step_batch(obs[0])
+    assert acts.shape == (env.num_agents,)
+    assert (acts >= 0).all() and (acts < env.compiled.n_actions).all()
