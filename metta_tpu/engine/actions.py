@@ -111,9 +111,12 @@ def try_attack(state, tables, a, tgt, mask):
             stolen = jnp.where(do, new_a - state.agent_inv[a, r_loot], 0)
             state = state.replace(
                 agent_inv=state.agent_inv.at[a, r_loot].add(stolen).at[t, r_loot].add(-stolen),
-                agent_gained=state.agent_gained.at[a, r_loot].add(stolen),
-                agent_lost=state.agent_lost.at[t, r_loot].add(stolen),
             )
+            if tables.track_gained:
+                state = state.replace(
+                    agent_gained=state.agent_gained.at[a, r_loot].add(stolen),
+                    agent_lost=state.agent_lost.at[t, r_loot].add(stolen),
+                )
         else:
             state, stolen = agent_update(state, tables, a, r_loot, amount, do)
             state, _ = agent_update(state, tables, t, r_loot, -stolen, do)
@@ -202,11 +205,12 @@ def chest_use(state, tables, a, chest_idx, mask):
         give_dep = jnp.where(deltas > 0, jnp.minimum(state.agent_inv[a], deltas), 0)
         state, got_dep = chest_update_multi(state, tables, i, give_dep, ok)
         state, _ = agent_update_multi(state, tables, a, -give_dep, ok)
-        state = state.replace(
-            agent_chest_deposited=state.agent_chest_deposited.at[a].add(
-                jnp.maximum(got_dep, 0)
+        if tables.track_chest_stats:
+            state = state.replace(
+                agent_chest_deposited=state.agent_chest_deposited.at[a].add(
+                    jnp.maximum(got_dep, 0)
+                )
             )
-        )
         # withdrawals: chest → agent
         give_w = jnp.where(deltas < 0, jnp.minimum(state.chest_inv[i], -deltas), 0)
         state, got_w = agent_update_multi(state, tables, a, give_w, ok)
@@ -222,11 +226,12 @@ def chest_use(state, tables, a, chest_idx, mask):
         dep = ok & (d > 0) & True
         st_c, transferred = chest_update(st, tables, i, r, give, dep)
         st_c, _ = agent_update(st_c, tables, a, r, -give, dep)
-        st_c = st_c.replace(
-            agent_chest_deposited=st_c.agent_chest_deposited.at[a, r].add(
-                jnp.where(dep, jnp.maximum(transferred, 0), 0)
+        if tables.track_chest_stats:
+            st_c = st_c.replace(
+                agent_chest_deposited=st_c.agent_chest_deposited.at[a, r].add(
+                    jnp.where(dep, jnp.maximum(transferred, 0), 0)
+                )
             )
-        )
         any_tr = any_tr | (dep & (transferred > 0))
         # withdraw: chest -> agent, destroy untransferred
         wd = ok & (d < 0)

@@ -192,8 +192,10 @@ def assembler_use(state, tables, a, asm_idx, mask):
         state, dist = shared_update_multi(
             state, tables, out_kind, out_idx, out_valid, outputs, ok
         )
-        created = jnp.maximum(dist, 0)
-        state = state.replace(game_asm_created=state.game_asm_created + created)
+        if tables.track_chest_stats:
+            state = state.replace(
+                game_asm_created=state.game_asm_created + jnp.maximum(dist, 0)
+            )
         return _finish(state, tables, i, ok, clipped, cooldown)
 
     def mk_ops(kinds, idxs, item):
@@ -229,7 +231,8 @@ def assembler_use(state, tables, a, asm_idx, mask):
     state, created = jax.lax.fori_loop(
         0, R, give_body, (state, jnp.zeros((R,), jnp.int32))
     )
-    state = state.replace(game_asm_created=state.game_asm_created + created)
+    if tables.track_chest_stats:
+        state = state.replace(game_asm_created=state.game_asm_created + created)
     return _finish(state, tables, i, ok, clipped, cooldown)
 
 

@@ -53,13 +53,14 @@ class MettaGridEnv:
         num_envs: int = 1,
         seed: int = 0,
         desync_episodes: Optional[bool] = None,
+        track_stats: bool = True,
     ):
         self.cfg = cfg
         self.num_envs = num_envs
         game_map = cfg.game.map_builder.create().build()
         self.game_map = game_map
         self.compiled, self._init = compile_game(cfg.game, game_map)
-        self.tables = Tables(self.compiled)
+        self.tables = Tables(self.compiled, track_stats=track_stats)
         self.desync = cfg.desync_episodes if desync_episodes is None else desync_episodes
         self._seed = seed
         self.single_observation_space_shape = (self.compiled.num_obs_tokens, 3)

@@ -43,11 +43,13 @@ def agent_update_multi(state, tables, a, deltas, do):
     new, actual = clamp_row(tables, cls, inv, deltas)
     actual = jnp.where(do, actual, 0)
     new = jnp.where(do, new, inv)
-    return state.replace(
-        agent_inv=state.agent_inv.at[a].set(new),
-        agent_gained=state.agent_gained.at[a].add(jnp.maximum(actual, 0)),
-        agent_lost=state.agent_lost.at[a].add(jnp.maximum(-actual, 0)),
-    ), actual
+    state = state.replace(agent_inv=state.agent_inv.at[a].set(new))
+    if tables.track_gained:
+        state = state.replace(
+            agent_gained=state.agent_gained.at[a].add(jnp.maximum(actual, 0)),
+            agent_lost=state.agent_lost.at[a].add(jnp.maximum(-actual, 0)),
+        )
+    return state, actual
 
 
 def chest_update_multi(state, tables, i, deltas, do):
@@ -56,11 +58,13 @@ def chest_update_multi(state, tables, i, deltas, do):
     new, actual = clamp_row(tables, cls, inv, deltas)
     actual = jnp.where(do, actual, 0)
     new = jnp.where(do, new, inv)
-    return state.replace(
-        chest_inv=state.chest_inv.at[i].set(new),
-        game_chest_deposited=state.game_chest_deposited + jnp.maximum(actual, 0),
-        game_chest_withdrawn=state.game_chest_withdrawn + jnp.maximum(-actual, 0),
-    ), actual
+    state = state.replace(chest_inv=state.chest_inv.at[i].set(new))
+    if tables.track_chest_stats:
+        state = state.replace(
+            game_chest_deposited=state.game_chest_deposited + jnp.maximum(actual, 0),
+            game_chest_withdrawn=state.game_chest_withdrawn + jnp.maximum(-actual, 0),
+        )
+    return state, actual
 
 
 def all_agents_update_multi(state, tables, deltas, do):
@@ -75,11 +79,13 @@ def all_agents_update_multi(state, tables, deltas, do):
     new_invs, actuals = jax.vmap(one)(
         jnp.arange(tables.num_agents), state.agent_inv, deltas, do
     )
-    return state.replace(
-        agent_inv=new_invs,
-        agent_gained=state.agent_gained + jnp.maximum(actuals, 0),
-        agent_lost=state.agent_lost + jnp.maximum(-actuals, 0),
-    ), actuals
+    state = state.replace(agent_inv=new_invs)
+    if tables.track_gained:
+        state = state.replace(
+            agent_gained=state.agent_gained + jnp.maximum(actuals, 0),
+            agent_lost=state.agent_lost + jnp.maximum(-actuals, 0),
+        )
+    return state, actuals
 
 
 def _ref_rows(state, tables, kinds, idxs):
@@ -113,12 +119,18 @@ def _apply_ref_rows(state, tables, kinds, idxs, deltas, mask):
     d_chest = jnp.where(is_agent, 0, actual)
     state = state.replace(
         agent_inv=state.agent_inv.at[a].add(d_agent),
-        agent_gained=state.agent_gained.at[a].add(jnp.maximum(d_agent, 0)),
-        agent_lost=state.agent_lost.at[a].add(jnp.maximum(-d_agent, 0)),
         chest_inv=state.chest_inv.at[ch].add(d_chest),
-        game_chest_deposited=state.game_chest_deposited + jnp.sum(jnp.maximum(d_chest, 0), axis=0),
-        game_chest_withdrawn=state.game_chest_withdrawn + jnp.sum(jnp.maximum(-d_chest, 0), axis=0),
     )
+    if tables.track_gained:
+        state = state.replace(
+            agent_gained=state.agent_gained.at[a].add(jnp.maximum(d_agent, 0)),
+            agent_lost=state.agent_lost.at[a].add(jnp.maximum(-d_agent, 0)),
+        )
+    if tables.track_chest_stats:
+        state = state.replace(
+            game_chest_deposited=state.game_chest_deposited + jnp.sum(jnp.maximum(d_chest, 0), axis=0),
+            game_chest_withdrawn=state.game_chest_withdrawn + jnp.sum(jnp.maximum(-d_chest, 0), axis=0),
+        )
     return state, actual
 
 

@@ -22,13 +22,15 @@ def agent_inv_write(state, tables, a, new_inv, actual_r, actual, do):
     """Write agent a's inventory vector + gained/lost accounting for one item."""
     old = state.agent_inv[a]
     new_inv = jnp.where(do, new_inv, old)
-    gained = jnp.where(do & (actual > 0), actual, 0)
-    lost = jnp.where(do & (actual < 0), -actual, 0)
-    return state.replace(
-        agent_inv=state.agent_inv.at[a].set(new_inv),
-        agent_gained=state.agent_gained.at[a, actual_r].add(gained),
-        agent_lost=state.agent_lost.at[a, actual_r].add(lost),
-    )
+    state = state.replace(agent_inv=state.agent_inv.at[a].set(new_inv))
+    if tables.track_gained:
+        gained = jnp.where(do & (actual > 0), actual, 0)
+        lost = jnp.where(do & (actual < 0), -actual, 0)
+        state = state.replace(
+            agent_gained=state.agent_gained.at[a, actual_r].add(gained),
+            agent_lost=state.agent_lost.at[a, actual_r].add(lost),
+        )
+    return state
 
 
 def agent_update(state, tables, a, r, delta, do, ignore_limits=False):
@@ -44,10 +46,9 @@ def agent_update(state, tables, a, r, delta, do, ignore_limits=False):
         inv2, dropped = enforce_limits(tables.inv_tables, cls, state.agent_inv[a])
         inv_after = jnp.where(cascade, inv2, state.agent_inv[a])
         dropped = jnp.where(cascade, dropped, 0)
-        state = state.replace(
-            agent_inv=state.agent_inv.at[a].set(inv_after),
-            agent_lost=state.agent_lost.at[a].add(dropped),
-        )
+        state = state.replace(agent_inv=state.agent_inv.at[a].set(inv_after))
+        if tables.track_gained:
+            state = state.replace(agent_lost=state.agent_lost.at[a].add(dropped))
     return state, actual
 
 
@@ -58,13 +59,15 @@ def chest_update(state, tables, i, r, delta, do):
     new_inv, actual = inv_update(tables.inv_tables, cls, inv, r, delta)
     actual = jnp.where(do, actual, 0)
     new_inv = jnp.where(do, new_inv, inv)
-    deposited = jnp.where(actual > 0, actual, 0)
-    withdrawn = jnp.where(actual < 0, -actual, 0)
-    return state.replace(
-        chest_inv=state.chest_inv.at[i].set(new_inv),
-        game_chest_deposited=state.game_chest_deposited.at[r].add(deposited),
-        game_chest_withdrawn=state.game_chest_withdrawn.at[r].add(withdrawn),
-    ), actual
+    state = state.replace(chest_inv=state.chest_inv.at[i].set(new_inv))
+    if tables.track_chest_stats:
+        deposited = jnp.where(actual > 0, actual, 0)
+        withdrawn = jnp.where(actual < 0, -actual, 0)
+        state = state.replace(
+            game_chest_deposited=state.game_chest_deposited.at[r].add(deposited),
+            game_chest_withdrawn=state.game_chest_withdrawn.at[r].add(withdrawn),
+        )
+    return state, actual
 
 
 def agent_free_space_vec(state, tables, a):

@@ -80,13 +80,15 @@ def agents_update_vec(state, tables, r, deltas, do):
     new_invs, actuals = jax.vmap(upd)(
         jnp.arange(tables.num_agents), state.agent_inv, deltas, do
     )
-    gained = jnp.where(actuals > 0, actuals, 0)
-    lost = jnp.where(actuals < 0, -actuals, 0)
-    return state.replace(
-        agent_inv=new_invs,
-        agent_gained=state.agent_gained.at[:, r].add(gained),
-        agent_lost=state.agent_lost.at[:, r].add(lost),
-    ), actuals
+    state = state.replace(agent_inv=new_invs)
+    if tables.track_gained:
+        gained = jnp.where(actuals > 0, actuals, 0)
+        lost = jnp.where(actuals < 0, -actuals, 0)
+        state = state.replace(
+            agent_gained=state.agent_gained.at[:, r].add(gained),
+            agent_lost=state.agent_lost.at[:, r].add(lost),
+        )
+    return state, actuals
 
 
 def apply_regen(state, tables):

@@ -18,10 +18,28 @@ from metta_tpu.engine.compiler import CompiledConfig
 
 
 class Tables:
-    """CompiledConfig with arrays on device. Attribute-compatible."""
+    """CompiledConfig with arrays on device. Attribute-compatible.
 
-    def __init__(self, cfg: CompiledConfig):
+    ``track_stats=False`` drops the gained/lost/chest stat accumulators from
+    the hot loop when no compiled stat reward reads them — they are reporting-
+    only then (training envs turn them off; eval envs keep them).
+    """
+
+    def __init__(self, cfg: CompiledConfig, track_stats: bool = True):
         self._cfg = cfg
+        import numpy as _np
+        from metta_tpu.engine import compiler as _C
+
+        used_srcs = set(_np.unique(cfg.stat_src))
+        self.track_gained = track_stats or bool(
+            used_srcs & {_C.SRC_GAINED, _C.SRC_LOST}
+        )
+        self.track_chest_stats = track_stats or bool(
+            used_srcs & {
+                _C.SRC_CHEST_DEPOSITED, _C.SRC_CHEST_WITHDRAWN,
+                _C.SRC_CHEST_DEPOSITED_BY_AGENT, _C.SRC_ASM_CREATED,
+            }
+        )
         for f in dataclasses.fields(cfg):
             v = getattr(cfg, f.name)
             if isinstance(v, np.ndarray):

@@ -94,7 +94,8 @@ class Trainer:
         T = cfg.bptt_horizon
         if num_envs is None:
             num_envs = cfg.num_envs or max(cfg.batch_size // (T * A), 1)
-        self.env = MettaGridEnv(env_cfg, num_envs=num_envs)
+        # training env: stat accumulators off unless a reward reads them
+        self.env = MettaGridEnv(env_cfg, num_envs=num_envs, track_stats=False)
         self.E = num_envs
         self.A = A
         self.B = num_envs * A
