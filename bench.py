@@ -8,7 +8,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +30,8 @@ def main():
     from metta_tpu.engine.env import MettaGridEnv
 
     cfg = make_combat(num_agents=args.agents)
-    env = MettaGridEnv(cfg, num_envs=args.num_envs, desync_episodes=True)
+    env = MettaGridEnv(cfg, num_envs=args.num_envs, desync_episodes=True,
+                       track_stats=False, step_mode="batched")
     A = env.num_agents
     n_actions = env.compiled.n_actions
 

@@ -54,13 +54,21 @@ class MettaGridEnv:
         seed: int = 0,
         desync_episodes: Optional[bool] = None,
         track_stats: bool = True,
+        step_mode: str = "sequential",
     ):
+        """step_mode: "sequential" (reference-exact shuffled-order agent loop)
+        or "batched" (rank-arbitrated vectorized step — the performance path,
+        see engine/step_batched.py; falls back to sequential when the config
+        uses coupled inventory limit groups)."""
         self.cfg = cfg
         self.num_envs = num_envs
         game_map = cfg.game.map_builder.create().build()
         self.game_map = game_map
         self.compiled, self._init = compile_game(cfg.game, game_map)
         self.tables = Tables(self.compiled, track_stats=track_stats)
+        if step_mode == "batched" and not self.tables.inv_vector_ok:
+            step_mode = "sequential"
+        self.step_mode = step_mode
         self.desync = cfg.desync_episodes if desync_episodes is None else desync_episodes
         self._seed = seed
         self.single_observation_space_shape = (self.compiled.num_obs_tokens, 3)
@@ -71,6 +79,11 @@ class MettaGridEnv:
         init = self._init
 
         from metta_tpu.engine.step import make_reset_batch
+
+        if self.step_mode == "batched":
+            from metta_tpu.engine.step_batched import step_env_batched as _step_env
+        else:
+            _step_env = step_env
 
         def reset_batch(key):
             keys = jax.random.split(key, num_envs)
@@ -90,7 +103,7 @@ class MettaGridEnv:
             ), obs
 
         def step_batch(vstate: VecEnvState, actions):
-            env, obs = jax.vmap(lambda s, a: step_env(s, a, tables))(vstate.env, actions)
+            env, obs = jax.vmap(lambda s, a: _step_env(s, a, tables))(vstate.env, actions)
             force_trunc = (vstate.desync_step > 0) & (env.step >= vstate.desync_step)
             truncated = env.truncated | force_trunc
             done = env.done
@@ -121,7 +134,7 @@ class MettaGridEnv:
         def step_batch_no_reset(vstate: VecEnvState, actions):
             """Evaluation stepping: no auto-reset, terminal state (and its
             episode stats) stays readable after the episode ends."""
-            env, obs = jax.vmap(lambda s, a: step_env(s, a, tables))(vstate.env, actions)
+            env, obs = jax.vmap(lambda s, a: _step_env(s, a, tables))(vstate.env, actions)
             vstate = vstate.replace(env=env)
             return vstate, obs, env.reward, env.done, env.truncated
 

@@ -108,5 +108,10 @@ class TrainerConfig(Config):
     max_grad_norm: float = Field(default=0.5, gt=0)
     seed: int = 0
 
+    # env step mode: "batched" (rank-arbitrated vectorized step, the perf
+    # path) or "sequential" (reference-exact agent loop). See
+    # engine/step_batched.py for the semantics notes.
+    env_step_mode: str = "batched"
+
     checkpoint_interval: int = Field(default=30, ge=0)
     evaluate_interval: int = Field(default=100, ge=0)

@@ -95,7 +95,8 @@ class Trainer:
         if num_envs is None:
             num_envs = cfg.num_envs or max(cfg.batch_size // (T * A), 1)
         # training env: stat accumulators off unless a reward reads them
-        self.env = MettaGridEnv(env_cfg, num_envs=num_envs, track_stats=False)
+        self.env = MettaGridEnv(env_cfg, num_envs=num_envs, track_stats=False,
+                                step_mode=cfg.env_step_mode)
         self.E = num_envs
         self.A = A
         self.B = num_envs * A
