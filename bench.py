@@ -21,8 +21,8 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-envs", type=int, default=4096)
-    ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=50)
     ap.add_argument("--agents", type=int, default=24)
     args = ap.parse_args()
 
@@ -30,6 +30,7 @@ def main():
     from metta_tpu.engine.env import MettaGridEnv
 
     cfg = make_combat(num_agents=args.agents)
+    cfg.game.map_builder.seed = 1234
     env = MettaGridEnv(cfg, num_envs=args.num_envs, desync_episodes=True,
                        track_stats=False, step_mode="batched")
     A = env.num_agents
@@ -46,7 +47,7 @@ def main():
         (vstate, key), out = jax.lax.scan(body, (vstate, key), None, length=n_steps)
         return vstate, key, out
 
-    run_jit = jax.jit(run, static_argnums=(2,), donate_argnums=(0,))
+    run_jit = jax.jit(run, static_argnums=(2,))
 
     key = jax.random.PRNGKey(0)
     vstate, obs = env.reset_fn(key)

@@ -114,10 +114,20 @@ class MettaGridEnv:
                 ended[:, None], env.episode_reward, vstate.last_episode_reward
             )
 
-            # auto-reset ended envs (fresh key from the env's chain)
+            # auto-reset ended envs (fresh key from the env's chain). Fields
+            # that are invariant across episodes of the same map (static grids,
+            # station geometry) are passed through unchanged so the per-step
+            # select costs nothing for them.
             fresh, fresh_obs = make_reset_batch(tables, init, env.key)
+            fresh = fresh.replace(
+                static_kind=env.static_kind, static_idx=env.static_idx,
+                static_type=env.static_type,
+                asm_r=env.asm_r, asm_c=env.asm_c, asm_type=env.asm_type,
+                asm_valid=env.asm_valid, chest_type=env.chest_type,
+                chest_valid=env.chest_valid,
+            )
             env = jax.tree.map(
-                lambda new, old: jnp.where(
+                lambda new, old: old if new is old else jnp.where(
                     jnp.reshape(ended, (-1,) + (1,) * (old.ndim - 1)), new, old
                 ),
                 fresh, env,
