@@ -32,11 +32,13 @@ except ImportError:  # older jax
     _SM_KW = "check_rep"
 
 
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+
 def shard_map(f, *, mesh, in_specs, out_specs):
     kw = {_SM_KW: False} if _SM_KW else {}
     return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
-from jax.sharding import Mesh, NamedSharding
-from jax.sharding import PartitionSpec as P
 
 from metta_tpu.config.mettagrid_config import MettaGridConfig
 from metta_tpu.models.vit import ViTConfig
@@ -104,10 +106,10 @@ class DistributedTrainer(Trainer):
         local.n_minibatches = local.B // local.rows_per_mb
         self._local = local
 
-        def sharded_update(ts: TrainState):
+        def sharded_update(ts: TrainState, hp):
             idx = jax.lax.axis_index("data")
             ts = ts.replace(key=jax.random.fold_in(ts.key, idx))
-            ts, metrics = local._update(ts, axis_name="data")
+            ts, metrics = local._update(ts, hp, axis_name="data")
             # Re-sync the stored key so the replicated spec holds (all shards
             # derive next-round keys by folding their index again).
             ts = ts.replace(key=jax.lax.all_gather(ts.key, "data")[0])
@@ -118,7 +120,7 @@ class DistributedTrainer(Trainer):
             shard_map(
                 sharded_update,
                 mesh=self.mesh,
-                in_specs=(spec,),
+                in_specs=(spec, P()),
                 out_specs=(spec, P()),
             ),
             donate_argnums=(0,),

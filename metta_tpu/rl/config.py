@@ -12,6 +12,7 @@ from typing import Literal, Optional
 from pydantic import Field
 
 from metta_tpu.config.base import Config
+from metta_tpu.rl.scheduler import SchedulerConfig
 
 
 class OptimizerConfig(Config):
@@ -112,6 +113,9 @@ class TrainerConfig(Config):
     # path) or "sequential" (reference-exact agent loop). See
     # engine/step_batched.py for the semantics notes.
     env_step_mode: str = "batched"
+
+    # hyperparameter schedules + loss run gates (rl/scheduler.py)
+    scheduler: Optional[SchedulerConfig] = None
 
     checkpoint_interval: int = Field(default=30, ge=0)
     evaluate_interval: int = Field(default=100, ge=0)

@@ -217,12 +217,21 @@ class Trainer:
         _, (logits, value, h_value) = jax.lax.scan(step, core0, obs_seq)
         return logits, value, h_value  # [T, M, ...]
 
-    def _loss_fn(self, params, mb, axis_name=None):
-        """PPO actor + critic loss on one minibatch dict of [T, M] arrays."""
+    def _loss_fn(self, params, mb, hp, axis_name=None):
+        """PPO actor + critic loss on one minibatch dict of [T, M] arrays.
+
+        ``hp`` is the runtime scheduled-coefficient vector (rl/scheduler.py
+        HP_FIELDS order) so schedules never trigger recompiles.
+        """
+        from metta_tpu.rl.scheduler import HP_INDEX
+
         cfg = self.cfg
         ac = cfg.losses.ppo_actor
         cc = cfg.losses.ppo_critic
         adv_cfg = cfg.advantage
+        clip_coef = hp[HP_INDEX["ppo_clip_coef"]]
+        ent_coef = hp[HP_INDEX["ppo_ent_coef"]]
+        vf_coef = hp[HP_INDEX["vf_coef"]]
 
         logits, value, h_value = self._sequence_forward(
             params, mb["obs"], mb["obs"].shape[1]
@@ -253,7 +262,7 @@ class Trainer:
             leaves = jax.tree.leaves(aux_params)
             l2 = sum(jnp.sum(p * p) for p in leaves) / max(sum(p.size for p in leaves), 1)
             aux_loss = 0.5 * jnp.mean((dl_sg - h_bt) ** 2) + 0.5 * cc.beta * l2
-            v_loss = cc.vf_coef * critic_loss + cc.aux_coef * aux_loss
+            v_loss = vf_coef * critic_loss + cc.aux_coef * aux_loss
         else:
             adv = mb["advantages"]
             returns = mb["advantages"] + mb["value"]
@@ -266,17 +275,17 @@ class Trainer:
                 v_loss = 0.5 * jnp.mean(jnp.maximum(v_unclipped, v_clipped))
             else:
                 v_loss = 0.5 * jnp.mean((value - returns) ** 2)
-            v_loss = cc.vf_coef * v_loss
+            v_loss = vf_coef * v_loss
 
         adv = jax.lax.stop_gradient(adv)
         if ac.norm_adv:
             adv = normalize_advantage(adv, axis_name)
         pg1 = -adv * ratio
-        pg2 = -adv * jnp.clip(ratio, 1 - ac.clip_coef, 1 + ac.clip_coef)
+        pg2 = -adv * jnp.clip(ratio, 1 - clip_coef, 1 + clip_coef)
         pg_loss = jnp.mean(jnp.maximum(pg1, pg2))
         ent_loss = jnp.mean(entropy)
 
-        loss = pg_loss - ac.ent_coef * ent_loss + v_loss
+        loss = pg_loss - ent_coef * ent_loss + v_loss
 
         # kickstarter distillation: KL(teacher ‖ student) (loss/kickstarter.py)
         ks = cfg.losses.kickstarter
@@ -296,7 +305,8 @@ class Trainer:
                 jnp.sum(jnp.exp(t_logp) * (t_logp - logp_all), axis=-1)
             )
             ks_value = jnp.mean((jax.lax.stop_gradient(t_values) - value) ** 2)
-            loss = loss + ks.action_loss_coef * ks_action + ks.value_loss_coef * ks_value
+            ks_coef = hp[HP_INDEX["kickstarter_coef"]]
+            loss = loss + ks_coef * ks_action + ks.value_loss_coef * ks_value
 
         # behavior cloning on recorded teacher actions (loss/action_supervised.py)
         asup = cfg.losses.action_supervised
@@ -304,7 +314,7 @@ class Trainer:
             ce = -jnp.take_along_axis(
                 logp_all, mb["teacher_actions"][..., None], axis=2
             )[..., 0]
-            loss = loss + asup.coef * jnp.mean(ce)
+            loss = loss + hp[HP_INDEX["action_supervised_coef"]] * jnp.mean(ce)
 
         approx_kl = jnp.mean((ratio - 1) - logratio)
         clipfrac = jnp.mean((jnp.abs(ratio - 1.0) > ac.clip_coef).astype(jnp.float32))
@@ -316,7 +326,29 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _update(self, ts: TrainState, axis_name=None):
+    def default_hp(self):
+        """Base scheduled-coefficient vector from the config."""
+        from metta_tpu.rl.scheduler import HP_FIELDS
+
+        ls = self.cfg.losses
+        base = {
+            "ppo_clip_coef": ls.ppo_actor.clip_coef,
+            "ppo_ent_coef": ls.ppo_actor.ent_coef,
+            "vf_coef": ls.ppo_critic.vf_coef,
+            "kickstarter_coef": ls.kickstarter.action_loss_coef if ls.kickstarter.enabled else 0.0,
+            "action_supervised_coef": ls.action_supervised.coef if ls.action_supervised.enabled else 0.0,
+        }
+        return [float(base[n]) for n in HP_FIELDS]
+
+    def update(self, ts: TrainState, hp=None):
+        """One train batch; hp overrides the scheduled coefficients."""
+        if hp is None:
+            hp = jnp.asarray(self.default_hp(), jnp.float32)
+        else:
+            hp = jnp.asarray(hp, jnp.float32)
+        return self._update_jit(ts, hp)
+
+    def _update(self, ts: TrainState, hp, axis_name=None):
         cfg = self.cfg
         adv_cfg = cfg.advantage
         B, T = self.B, self.T
@@ -364,7 +396,7 @@ class Trainer:
                 mb = {k: jnp.take(v, rows, axis=1) for k, v in data.items()}
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_fn, has_aux=True
-                )(params, mb, axis_name)
+                )(params, mb, hp, axis_name)
                 if axis_name is not None:
                     grads = jax.lax.pmean(grads, axis_name)
                     metrics = jax.tree.map(lambda m: jax.lax.pmean(m, axis_name), metrics)
@@ -406,8 +438,16 @@ class Trainer:
             ts = self.init_state()
         steps_per_update = self.B * self.T
         t0 = time.time()
+        from metta_tpu.rl.scheduler import LossScheduler, SchedulerConfig
+        scheduler = LossScheduler(
+            getattr(self.cfg, "scheduler", None) or SchedulerConfig(),
+            dict(zip(["ppo_clip_coef", "ppo_ent_coef", "vf_coef",
+                      "kickstarter_coef", "action_supervised_coef"], self.default_hp())),
+        )
+        n_update = 0
         while self.agent_steps < total:
-            ts, metrics = self._update_jit(ts)
+            ts, metrics = self.update(ts, scheduler.hp_vector(n_update))
+            n_update += 1
             self.agent_steps += steps_per_update
             if log_fn is not None:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -114,7 +114,7 @@ class TrainTool(Tool):
         last_log_t = t0
 
         while agent_steps < total:
-            ts, metrics = trainer._update_jit(ts)
+            ts, metrics = trainer.update(ts)
             update_idx += 1
             agent_steps += steps_per_update
 

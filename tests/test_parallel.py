@@ -36,9 +36,9 @@ def test_distributed_update_runs():
                      max_tokens=16, core_num_latents=2, core_num_heads=2)
     tr = DistributedTrainer(env_cfg, tcfg, pcfg, mesh=mesh)
     ts = tr.init_state(seed=0)
-    ts, metrics = tr._update_jit(ts)
+    ts, metrics = tr.update(ts)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
     # one more step to ensure the state round-trips through the sharded update
-    ts, metrics = tr._update_jit(ts)
+    ts, metrics = tr.update(ts)
     assert np.isfinite(float(metrics["policy_loss"]))

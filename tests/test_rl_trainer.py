@@ -44,7 +44,7 @@ def test_one_update(critic_update):
     tr = tiny_trainer(critic_update)
     ts = tr.init_state(seed=0)
     p0 = jax.tree.leaves(ts.params)[0].copy()
-    ts, metrics = tr._update_jit(ts)
+    ts, metrics = tr.update(ts)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
     p1 = jax.tree.leaves(ts.params)[0]
