@@ -25,12 +25,33 @@ class Config(BaseModel):
 
         ``cfg.override("game.num_agents", 4)`` mirrors the reference's
         ``key=value`` recipe overrides (``metta/common/tool/run_tool.py``).
+        Unknown paths raise — a typo'd key must not silently do nothing.
         """
         parts = path.split(".")
         obj: Any = self
-        for part in parts[:-1]:
+        for i, part in enumerate(parts[:-1]):
+            if isinstance(obj, dict):
+                if part not in obj:
+                    raise AttributeError(
+                        f"Unknown config path {'.'.join(parts[: i + 1])!r} (in override {path!r})"
+                    )
+                obj = obj[part]
+                continue
+            if not hasattr(obj, part):
+                raise AttributeError(
+                    f"Unknown config path {'.'.join(parts[: i + 1])!r} (in override {path!r})"
+                )
             obj = getattr(obj, part)
-        current = getattr(obj, parts[-1], None)
+        last = parts[-1]
+        if isinstance(obj, dict):
+            # dict leaves (e.g. consumed_resources.laser) may introduce new keys
+            obj[last] = value
+            return self
+        if isinstance(obj, BaseModel) and last not in type(obj).model_fields:
+            raise AttributeError(
+                f"Unknown config field {last!r} on {type(obj).__name__} (in override {path!r})"
+            )
+        current = getattr(obj, last, None)
         if current is not None and not isinstance(value, type(current)):
             # Coerce strings from CLI into the field's current type.
             if isinstance(current, bool) and isinstance(value, str):

@@ -14,8 +14,7 @@ episode of each env instance is truncated at an independent random step.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ import numpy as np
 from flax import struct
 
 from metta_tpu.config.mettagrid_config import MettaGridConfig
-from metta_tpu.engine.compiler import CompiledConfig, compile_game
+from metta_tpu.engine.compiler import compile_game
 from metta_tpu.engine.state import EnvState
 from metta_tpu.engine.step import initial_observations, make_initial_state, step_env
 from metta_tpu.engine.tables import Tables

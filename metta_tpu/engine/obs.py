@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from metta_tpu.engine.protocols import select_protocol, select_unclip_protocol, surrounding_vibe_key
-from metta_tpu.engine.state import KIND_AGENT, KIND_ASSEMBLER, KIND_CHEST, KIND_WALL
+from metta_tpu.engine.state import KIND_ASSEMBLER, KIND_CHEST, KIND_WALL
 
 EMPTY = 255
 

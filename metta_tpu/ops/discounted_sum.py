@@ -15,8 +15,6 @@ project's Pallas infrastructure (obs-render and step kernels follow it);
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -21,7 +21,6 @@ BPTT segment in the learner (``policies/vit.py:38``
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax

@@ -11,13 +11,8 @@ from typing import Any, Optional
 import numpy as np
 
 from metta_tpu.config.mettagrid_config import (
-    ActionsConfig,
-    AgentConfig,
-    ChangeVibeActionConfig,
     GameConfig,
     MettaGridConfig,
-    MoveActionConfig,
-    NoopActionConfig,
     WallConfig,
 )
 from metta_tpu.engine.env import MettaGridEnv
