@@ -77,16 +77,22 @@ class MettaGridEnv:
         tables = self.tables
         init = self._init
 
-        from metta_tpu.engine.step import make_reset_batch
+        from metta_tpu.engine.step import make_reset_batch, make_reset_template
+
+        # Concrete template (device arrays): reset/step jits embed it as data,
+        # keeping their compile time independent of batch size / map size.
+        self._template = make_reset_template(tables, init)
 
         if self.step_mode == "batched":
             from metta_tpu.engine.step_batched import step_env_batched as _step_env
         else:
             _step_env = step_env
 
+        template = self._template
+
         def reset_batch(key):
             keys = jax.random.split(key, num_envs)
-            env, obs = make_reset_batch(tables, init, keys)
+            env, obs = make_reset_batch(tables, init, keys, template=template)
             if self.desync and tables.max_steps > 0:
                 desync = jax.random.randint(
                     jax.random.fold_in(key, 1), (num_envs,), 1, tables.max_steps
@@ -117,7 +123,7 @@ class MettaGridEnv:
             # that are invariant across episodes of the same map (static grids,
             # station geometry) are passed through unchanged so the per-step
             # select costs nothing for them.
-            fresh, fresh_obs = make_reset_batch(tables, init, env.key)
+            fresh, fresh_obs = make_reset_batch(tables, init, env.key, template=template)
             fresh = fresh.replace(
                 static_kind=env.static_kind, static_idx=env.static_idx,
                 static_type=env.static_type,

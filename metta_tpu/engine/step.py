@@ -86,7 +86,19 @@ def make_initial_state(tables: Tables, init: dict, key) -> EnvState:
     )
 
 
-def make_reset_batch(tables: Tables, init: dict, keys):
+def make_reset_template(tables: Tables, init: dict):
+    """Precompute the per-episode template state + its initial obs ONCE,
+    host-side, as concrete device arrays. Jitted reset/step programs close
+    over these as data constants — nothing left for XLA to constant-fold, so
+    compile time is O(1) in both batch size and map complexity."""
+    template = jax.jit(
+        lambda: make_initial_state(tables, init, jnp.zeros((2,), jnp.uint32))
+    )()
+    obs1 = jax.jit(lambda s: initial_observations(s, tables))(template)
+    return template, obs1
+
+
+def make_reset_batch(tables: Tables, init: dict, keys, template=None):
     """Batched reset: one template state + obs, broadcast over the env batch.
 
     All per-env initial state is identical except the PRNG key (and, for
@@ -95,10 +107,13 @@ def make_reset_batch(tables: Tables, init: dict, keys):
     keys: [E, 2] uint32. Returns (batched EnvState, batched obs).
     """
     E = keys.shape[0]
-    template = make_initial_state(tables, init, jnp.zeros((2,), jnp.uint32))
-    obs1 = initial_observations(template, tables)
+    if template is None:
+        template_state = make_initial_state(tables, init, jnp.zeros((2,), jnp.uint32))
+        obs1 = initial_observations(template_state, tables)
+    else:
+        template_state, obs1 = template
     state = jax.tree.map(
-        lambda x: jnp.broadcast_to(x[None], (E,) + x.shape), template
+        lambda x: jnp.broadcast_to(x[None], (E,) + x.shape), template_state
     )
     state = state.replace(key=jax.vmap(lambda k: jax.random.split(k)[0])(keys))
     if tables.clipper_enabled and bool(init["asm_start_clipped"].any()):

@@ -117,5 +117,10 @@ class TrainerConfig(Config):
     # hyperparameter schedules + loss run gates (rl/scheduler.py)
     scheduler: Optional[SchedulerConfig] = None
 
+    # Split each update into this many device programs (rollout chunks + a
+    # separate learner program). 1 = fully fused. Use >1 on devices that kill
+    # long single-program executions (the tunneled dev chip does at ~60 s).
+    rollout_chunks: int = Field(default=1, ge=1)
+
     checkpoint_interval: int = Field(default=30, ge=0)
     evaluate_interval: int = Field(default=100, ge=0)

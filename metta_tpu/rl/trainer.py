@@ -345,14 +345,57 @@ class Trainer:
             hp = jnp.asarray(self.default_hp(), jnp.float32)
         else:
             hp = jnp.asarray(hp, jnp.float32)
+        if self.cfg.rollout_chunks > 1:
+            return self._update_chunked(ts, hp)
         return self._update_jit(ts, hp)
 
+    # -- chunked path: several shorter device programs per update (see
+    # TrainerConfig.rollout_chunks) --------------------------------------
+
+    def _ensure_chunked_jits(self):
+        if getattr(self, "_chunk_jits", None) is not None:
+            return
+        n_chunks = self.cfg.rollout_chunks
+        assert self.T % n_chunks == 0, "bptt_horizon must divide rollout_chunks"
+        Tc = self.T // n_chunks
+        full_T = self.T
+
+        def rollout_chunk(ts):
+            saved_T = self.T
+            self.T = Tc
+            try:
+                ts, traj = self._rollout(ts)
+            finally:
+                self.T = saved_T
+            return ts, traj
+
+        def learn(ts, traj, hp):
+            return self._learn_phase(ts, traj, hp, axis_name=None)
+
+        self._chunk_jits = (
+            jax.jit(rollout_chunk, donate_argnums=(0,)),
+            jax.jit(learn, donate_argnums=(1,)),
+        )
+
+    def _update_chunked(self, ts: TrainState, hp):
+        self._ensure_chunked_jits()
+        roll_jit, learn_jit = self._chunk_jits
+        chunks = []
+        for _ in range(self.cfg.rollout_chunks):
+            ts, traj = roll_jit(ts)
+            chunks.append(traj)
+        traj = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+        return learn_jit(ts, traj, hp)
+
     def _update(self, ts: TrainState, hp, axis_name=None):
+        ts, traj = self._rollout(ts)
+        return self._learn_phase(ts, traj, hp, axis_name)
+
+    def _learn_phase(self, ts: TrainState, traj, hp, axis_name=None):
         cfg = self.cfg
         adv_cfg = cfg.advantage
-        B, T = self.B, self.T
-
-        ts, traj = self._rollout(ts)
+        B = self.B
+        T = traj.reward.shape[0]
 
         # reward centering EMA (trainer_config.py:36-40)
         rc = adv_cfg.reward_centering
