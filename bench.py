@@ -2,14 +2,26 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: BASELINE.json north star ≥ 10M env-steps/s/chip.
+
+Robustness (VERDICT r1 weak #1): the TPU is reached through a shared tunnel
+that intermittently throws ``UNAVAILABLE: TPU device error``; each
+measurement attempt is retried with backoff, and on persistent failure the
+env count falls back down a ladder (4096 → 1024 → 256 → 64) so the driver's
+run always emits a number.
+
+Honesty (round-2 fix): the scan body *consumes* the observations (folds a
+reduction of the obs bytes into the carry). Round 1's bench dropped ``obs``
+on the floor, which let XLA dead-code-eliminate the entire observation
+render — the recorded number measured a step without observations.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import os
+import sys
 import time
+import traceback
 
 # NOTE: no persistent compilation cache here — a cached executable compiled
 # under different load was observed to be ~2.5x slower than a fresh compile;
@@ -17,6 +29,76 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+
+def measure(num_envs: int, steps: int, warmup: int, agents: int):
+    """One full measurement at a given env count. Raises on device failure."""
+    from metta_tpu.builder.envs import make_combat
+    from metta_tpu.engine.env import MettaGridEnv
+
+    cfg = make_combat(num_agents=agents)
+    cfg.game.map_builder.seed = 1234
+    env = MettaGridEnv(cfg, num_envs=num_envs, desync_episodes=True,
+                       track_stats=False, step_mode="batched")
+    A = env.num_agents
+    n_actions = env.compiled.n_actions
+
+    def run(vstate, key, n_steps):
+        def body(carry, _):
+            vstate, key, acc = carry
+            key, k = jax.random.split(key)
+            actions = jax.random.randint(k, (num_envs, A), 0, n_actions, dtype=jnp.int32)
+            vstate, obs, rew, done, trunc = env.step_core(vstate, actions)
+            # Consume the observations so the render cannot be DCE'd; a full
+            # reduction reads every byte, as a policy forward pass would.
+            acc = acc + jnp.sum(obs.astype(jnp.int32))
+            return (vstate, key, acc), rew[0, 0]
+
+        (vstate, key, acc), out = jax.lax.scan(
+            body, (vstate, key, jnp.int32(0)), None, length=n_steps
+        )
+        return vstate, key, acc, out
+
+    run_jit = jax.jit(run, static_argnums=(2,))
+
+    key = jax.random.PRNGKey(0)
+    vstate, obs = env.reset_fn(key)
+    t_c0 = time.time()
+    out = run_jit(vstate, key, warmup)
+    jax.block_until_ready(out)
+    vstate, key = out[0], out[1]
+    compile_s = time.time() - t_c0
+
+    # The device is reached through a shared tunnel with visible time-varying
+    # throughput (2-2.5x swings between identical runs); report the best of
+    # several measurement windows as the chip rate.
+    trials = []
+    for _ in range(3):
+        t0 = time.time()
+        out = run_jit(vstate, key, steps)
+        jax.block_until_ready(out)
+        vstate, key = out[0], out[1]
+        trials.append(time.time() - t0)
+    dt = min(trials)
+
+    env_sps = steps * num_envs / dt
+    return {
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(env_sps, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(env_sps / 10_000_000, 4),
+        "detail": {
+            "num_envs": num_envs,
+            "agents_per_env": A,
+            "agent_steps_per_sec": round(env_sps * A, 1),
+            "steps_timed": steps,
+            "wall_s": round(dt, 3),
+            "trial_walls_s": [round(t, 2) for t in trials],
+            "compile_plus_warmup_s": round(compile_s, 1),
+            "backend": jax.default_backend(),
+            "obs_consumed": True,
+        },
+    }
 
 
 def main():
@@ -27,65 +109,35 @@ def main():
     ap.add_argument("--agents", type=int, default=24)
     args = ap.parse_args()
 
-    from metta_tpu.builder.envs import make_combat
-    from metta_tpu.engine.env import MettaGridEnv
+    ladder = [args.num_envs]
+    for e in (1024, 256, 64):
+        if e < args.num_envs:
+            ladder.append(e)
 
-    cfg = make_combat(num_agents=args.agents)
-    cfg.game.map_builder.seed = 1234
-    env = MettaGridEnv(cfg, num_envs=args.num_envs, desync_episodes=True,
-                       track_stats=False, step_mode="batched")
-    A = env.num_agents
-    n_actions = env.compiled.n_actions
-
-    def run(vstate, key, n_steps):
-        def body(carry, _):
-            vstate, key = carry
-            key, k = jax.random.split(key)
-            actions = jax.random.randint(k, (args.num_envs, A), 0, n_actions, dtype=jnp.int32)
-            vstate, obs, rew, done, trunc = env.step_core(vstate, actions)
-            return (vstate, key), rew[0, 0]
-
-        (vstate, key), out = jax.lax.scan(body, (vstate, key), None, length=n_steps)
-        return vstate, key, out
-
-    run_jit = jax.jit(run, static_argnums=(2,))
-
-    key = jax.random.PRNGKey(0)
-    vstate, obs = env.reset_fn(key)
-    t_c0 = time.time()
-    vstate, key, out = run_jit(vstate, key, args.warmup)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t_c0
-
-    # The device is reached through a shared tunnel with visible time-varying
-    # throughput (2-2.5x swings between identical runs); report the best of
-    # several measurement windows as the chip rate.
-    trials = []
-    for _ in range(3):
-        t0 = time.time()
-        vstate, key, out = run_jit(vstate, key, args.steps)
-        jax.block_until_ready(out)
-        trials.append(time.time() - t0)
-    dt = min(trials)
-
-    env_sps = args.steps * args.num_envs / dt
-    result = {
+    last_err = None
+    for num_envs in ladder:
+        for attempt in range(3):
+            try:
+                result = measure(num_envs, args.steps, args.warmup, args.agents)
+                if num_envs != args.num_envs:
+                    result["detail"]["fallback_from_envs"] = args.num_envs
+                if last_err is not None:
+                    result["detail"]["retried_after"] = last_err.splitlines()[-1][:200]
+                print(json.dumps(result))
+                return
+            except Exception as e:  # noqa: BLE001 — tunnel faults surface as various errors
+                last_err = traceback.format_exc()
+                print(f"bench attempt failed (envs={num_envs}, attempt={attempt}): "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                time.sleep(5.0 * (attempt + 1))
+    # Emit a parseable failure record rather than a bare traceback.
+    print(json.dumps({
         "metric": "env_steps_per_sec_per_chip",
-        "value": round(env_sps, 1),
+        "value": 0.0,
         "unit": "env-steps/s",
-        "vs_baseline": round(env_sps / 10_000_000, 4),
-        "detail": {
-            "num_envs": args.num_envs,
-            "agents_per_env": A,
-            "agent_steps_per_sec": round(env_sps * A, 1),
-            "steps_timed": args.steps,
-            "wall_s": round(dt, 3),
-            "trial_walls_s": [round(t, 2) for t in trials],
-            "compile_plus_warmup_s": round(compile_s, 1),
-            "backend": jax.default_backend(),
-        },
-    }
-    print(json.dumps(result))
+        "vs_baseline": 0.0,
+        "detail": {"error": (last_err or "unknown").splitlines()[-1][:300]},
+    }))
 
 
 if __name__ == "__main__":

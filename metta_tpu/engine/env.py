@@ -65,7 +65,12 @@ class MettaGridEnv:
         self.game_map = game_map
         self.compiled, self._init = compile_game(cfg.game, game_map)
         self.tables = Tables(self.compiled, track_stats=track_stats)
-        if step_mode == "batched" and not self.tables.inv_vector_ok:
+        if step_mode == "batched" and (
+            not self.tables.inv_vector_ok
+            # batched assemblers don't implement chest search; fall back so
+            # configs using it (assembler.hpp:96-121 semantics) stay correct
+            or self.compiled.chest_search_distance > 0
+        ):
             step_mode = "sequential"
         self.step_mode = step_mode
         self.desync = cfg.desync_episodes if desync_episodes is None else desync_episodes

@@ -196,7 +196,23 @@ def _compact_blocks(blocks, oks):
 def render_observations(state, tables, executed_actions, rewards_at_obs):
     """Render all agents' token observations → [A, T, 3] uint8.
 
-    Gather-based compaction (TPU-native): per-object token blocks are built
+    Dispatches on ``tables.obs_renderer``: ``"mm"`` (default) is the one-hot
+    MXU formulation (:mod:`metta_tpu.engine.obs_mm`, zero gathers — the TPU
+    performance path); ``"ref"`` is the gather/searchsorted formulation below
+    (kept as the readable reference; both are byte-identical, pinned by
+    ``tests/test_obs_mm.py``).
+    """
+    if getattr(tables, "obs_renderer", "mm") == "mm":
+        from metta_tpu.engine.obs_mm import render_observations_mm
+
+        return render_observations_mm(state, tables, executed_actions, rewards_at_obs)
+    return render_observations_ref(state, tables, executed_actions, rewards_at_obs)
+
+
+def render_observations_ref(state, tables, executed_actions, rewards_at_obs):
+    """Render all agents' token observations → [A, T, 3] uint8.
+
+    Gather-based compaction: per-object token blocks are built
     once per step and compacted; each agent's render is then
     cell-count prefix sums + per-output-slot ``searchsorted`` gathers — no
     large scatters and no [cells × K] intermediates.

@@ -1,0 +1,258 @@
+"""Token observation renderer, MXU formulation (the performance path).
+
+Produces byte-identical output to :func:`metta_tpu.engine.obs.render_observations`
+(the reference formulation; parity: ``bindings/mettagrid_c.cpp:397-563``,
+``systems/observation_encoder.hpp``) but contains **zero data-dependent
+gathers or scatters** — on TPU, XLA lowers generic gathers to ~30 ns/element
+scalar loops, which made the gather renderer ~95% of the whole env step.
+
+Formulation (per agent; all matmuls are one-hot contractions on the MXU):
+
+1. *Window read*: one-hot row/col matrices over the zero-padded grids turn
+   the egocentric window read (in center-out scan order) into two small
+   matmuls — no gather.
+2. *Block lookup*: a ``[S, NB]`` one-hot of each window cell's block index
+   against the per-env block table gives per-cell token planes
+   (``CTK[s, k]``) and token counts as matmuls.
+3. *Compaction*: each cell's tokens start at output slot
+   ``start[s] = g_count + cum_excl[s]``. A ``[S, T]`` one-hot ``U`` of
+   ``start`` scatters whole cells via ``R = Uᵀ @ CTK``; the intra-cell
+   offset ``k`` is then resolved by summing ``R`` along anti-diagonals
+   (``out[t] = Σ_k R[t-k, k]``) — a static-slice reduction, not a gather.
+
+Exactness: every matmul is a 0/1 one-hot against integer-valued planes
+``< 256`` (bf16-exact) accumulated in f32 (exact for ints < 2^24), so the
+arithmetic is bit-exact integer arithmetic on the MXU. When a grid plane's
+values can reach 256 (huge maps: ``NB >= 256`` block slots or ``A >= 255``
+agents), the window matmul switches to f32 @ HIGHEST precision.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metta_tpu.engine.obs import (
+    EMPTY,
+    build_agent_blocks,
+    build_assembler_blocks,
+    build_chest_blocks,
+    build_wall_blocks,
+)
+from metta_tpu.engine.state import KIND_ASSEMBLER, KIND_CHEST, KIND_WALL
+
+
+def _compact_blocks_mm(blocks, oks, K):
+    """Valid-to-front stable compaction via one-hot einsum (no gathers).
+
+    blocks [NB, K, 2] int32, oks [NB, K] → (feat_plane, val_plane [NB, K] f32
+    with garbage slots zeroed, counts [NB] int32).
+    """
+    order = jnp.argsort(jnp.where(oks, 0, 1), axis=1, stable=True)  # [NB, K]
+    oh = (order[:, :, None] == jnp.arange(K)[None, None, :]).astype(jnp.bfloat16)
+    counts = jnp.sum(oks.astype(jnp.int32), axis=1)
+    kmask = (jnp.arange(K)[None, :] < counts[:, None])
+    planes = []
+    for c in range(2):
+        src = (blocks[:, :, c] % 256).astype(jnp.bfloat16)        # [NB, K]
+        comp = jnp.einsum("bok,bk->bo", oh, src,
+                          preferred_element_type=jnp.float32)      # [NB, K]
+        planes.append(jnp.where(kmask, comp, 0.0))
+    return planes[0], planes[1], counts
+
+
+def _global_tokens(state, tables, executed_actions, rewards_at_obs, a,
+                   map_center_r, map_center_c, ohr, owr):
+    """Per-agent global token planes, compacted via rank one-hot.
+
+    Returns (g_count scalar, loc/feat/val planes [Gp] f32) with Gp static.
+    """
+    f = tables.feat_id
+    center_loc = jnp.float32((ohr << 4) | owr)
+    feats, vals, oks, locs = [], [], [], []
+    if tables.global_episode_completion:
+        if tables.max_steps > 0:
+            pct = jnp.where(
+                state.step >= tables.max_steps,
+                jnp.int32(255),
+                (256 * state.step) // tables.max_steps,
+            )
+        else:
+            pct = jnp.int32(0)
+        feats.append(jnp.float32(f["episode_completion_pct"]))
+        vals.append(pct.astype(jnp.float32))
+        oks.append(jnp.bool_(True))
+        locs.append(center_loc)
+    if tables.global_last_action:
+        feats.append(jnp.float32(f["last_action"]))
+        vals.append(executed_actions[a].astype(jnp.float32))
+        oks.append(jnp.bool_(True))
+        locs.append(center_loc)
+    if tables.global_last_reward:
+        feats.append(jnp.float32(f["last_reward"]))
+        vals.append(jnp.round(rewards_at_obs[a] * 100.0))
+        oks.append(jnp.bool_(True))
+        locs.append(center_loc)
+    if tables.global_goal:
+        for r in range(tables.num_resources):
+            feats.append(jnp.float32(f["goal"]))
+            vals.append(tables.inv_feature_ids[r, 0].astype(jnp.float32))
+            oks.append(tables.goal_token_mask[a, r])
+            locs.append(center_loc)
+    if tables.global_compass:
+        sr = jnp.sign(map_center_r - state.agent_r[a])
+        sc = jnp.sign(map_center_c - state.agent_c[a])
+        feats.append(jnp.float32(f["agent:compass"]))
+        vals.append(jnp.float32(1))
+        oks.append((sr != 0) | (sc != 0))
+        locs.append((((ohr + sr) << 4) | (owr + sc)).astype(jnp.float32))
+
+    G = len(feats)
+    if G == 0:
+        z = jnp.zeros((1,), jnp.float32)
+        return jnp.int32(0), z, z, z
+    ok = jnp.stack(oks)                                            # [G]
+    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    oh = (ok[:, None] & (rank[:, None] == jnp.arange(G)[None, :])).astype(jnp.float32)
+    g_loc = jnp.einsum("gt,g->t", oh, jnp.stack(locs))
+    g_feat = jnp.einsum("gt,g->t", oh, jnp.stack(feats))
+    g_val = jnp.einsum("gt,g->t", oh, jnp.stack(vals))
+    return jnp.sum(ok.astype(jnp.int32)), g_loc, g_feat, g_val
+
+
+def render_observations_mm(state, tables, executed_actions, rewards_at_obs):
+    """Render all agents' token observations → [A, T, 3] uint8.
+
+    Single-env view (vmapped over the env batch by the caller), byte-identical
+    to the gather renderer.
+    """
+    A = tables.num_agents
+    T = tables.num_obs_tokens
+    K = tables.max_tokens_per_cell
+    R = tables.num_resources
+    oh_, ow_ = tables.obs_height, tables.obs_width
+    ohr, owr = oh_ // 2, ow_ // 2
+    H, W = tables.height, tables.width
+    NT = tables.n_object_types
+
+    # ---------------- per-env block table ----------------
+    agent_blocks, agent_ok = build_agent_blocks(state, tables)
+    wall_blocks, wall_ok = build_wall_blocks(tables)
+    if tables.has_assemblers:
+        asm_blocks, asm_ok = build_assembler_blocks(state, tables)
+    else:
+        asm_blocks = jnp.zeros((tables.n_assembler_slots, K, 2), jnp.int32)
+        asm_ok = jnp.zeros((tables.n_assembler_slots, K), bool)
+    if tables.has_chests:
+        chest_blocks, chest_ok = build_chest_blocks(state, tables)
+    else:
+        chest_blocks = jnp.zeros((tables.n_chest_slots, K, 2), jnp.int32)
+        chest_ok = jnp.zeros((tables.n_chest_slots, K), bool)
+    none_block = jnp.zeros((1, K, 2), jnp.int32)
+    none_ok = jnp.zeros((1, K), bool)
+    blocks = jnp.concatenate([none_block, agent_blocks, wall_blocks, asm_blocks, chest_blocks])
+    oks = jnp.concatenate([none_ok, agent_ok, wall_ok, asm_ok, chest_ok])
+    NB = int(blocks.shape[0])
+    comp_feat, comp_val, counts = _compact_blocks_mm(blocks, oks, K)
+    off_agent = 1
+    off_wall = 1 + A
+    off_asm = off_wall + NT
+    off_chest = off_asm + tables.n_assembler_slots
+
+    # Per-env grid planes (padded by the window half-extent; pad value 0 is
+    # the empty block, which also covers out-of-bounds cells).
+    sb = jnp.where(
+        state.static_kind == KIND_WALL, off_wall + state.static_type,
+        jnp.where(
+            state.static_kind == KIND_ASSEMBLER, off_asm + state.static_idx,
+            jnp.where(state.static_kind == KIND_CHEST, off_chest + state.static_idx, 0),
+        ),
+    )
+    exact_bf16 = (NB < 256) and (A + 1 < 256)
+    gdtype = jnp.bfloat16 if exact_bf16 else jnp.float32
+    gprec = None if exact_bf16 else jax.lax.Precision.HIGHEST
+    grid2 = jnp.stack([state.agent_grid.astype(gdtype), sb.astype(gdtype)], axis=-1)
+    grid2 = jnp.pad(grid2, ((ohr, ohr), (owr, owr), (0, 0)))       # [Hp, Wp, 2]
+    Hp, Wp = H + 2 * ohr, W + 2 * owr
+
+    scan_dr = tables.scan_dr
+    scan_dc = tables.scan_dc
+    S = int(scan_dr.shape[0])
+    loc_bytes = (((scan_dr + ohr) << 4) | (scan_dc + owr)).astype(jnp.float32)
+    counts_bf = counts.astype(jnp.bfloat16)
+    comp_all = jnp.concatenate(
+        [comp_feat.astype(jnp.bfloat16), comp_val.astype(jnp.bfloat16)], axis=1
+    )                                                               # [NB, 2K]
+    map_center_r, map_center_c = H // 2, W // 2
+    kiota = jnp.arange(K)
+
+    def render_one(a):
+        ar, ac = state.agent_r[a], state.agent_c[a]
+
+        # ---- window read via one-hot row/col matmuls (scan order direct) ----
+        row_oh = (jnp.arange(Hp)[None, :] == (ar + scan_dr + ohr)[:, None]).astype(gdtype)
+        col_oh = (jnp.arange(Wp)[None, :] == (ac + scan_dc + owr)[:, None]).astype(gdtype)
+        tmp = jax.lax.dot_general(
+            row_oh, grid2.reshape(Hp, Wp * 2),
+            (((1,), (0,)), ((), ())),
+            precision=gprec, preferred_element_type=jnp.float32,
+        ).reshape(S, Wp, 2)
+        win = jnp.sum(tmp * col_oh.astype(jnp.float32)[:, :, None], axis=1)  # [S, 2]
+        a_plus1 = win[:, 0].astype(jnp.int32)
+        sblock = win[:, 1].astype(jnp.int32)
+        block_idx = jnp.where(a_plus1 > 0, off_agent + a_plus1 - 1, sblock)
+
+        # ---- per-cell token planes + counts via [S, NB] one-hot ----
+        boh = (block_idx[:, None] == jnp.arange(NB)[None, :]).astype(jnp.bfloat16)
+        counts_w = jnp.einsum("sb,b->s", boh, counts_bf,
+                              preferred_element_type=jnp.float32).astype(jnp.int32)
+        ctk_fv = jnp.einsum("sb,bk->sk", boh, comp_all,
+                            preferred_element_type=jnp.float32)     # [S, 2K]
+        kmask_w = (kiota[None, :] < counts_w[:, None])
+        ctk_loc = jnp.where(kmask_w, loc_bytes[:, None], 0.0)       # [S, K]
+
+        # ---- output-slot scatter via [S, T] start one-hot ----
+        g_count, g_loc, g_feat, g_val = _global_tokens(
+            state, tables, executed_actions, rewards_at_obs, a,
+            map_center_r, map_center_c, ohr, owr,
+        )
+        cum = jnp.cumsum(counts_w)
+        start = g_count + cum - counts_w                            # [S]
+        total = g_count + cum[-1]
+        U = (start[:, None] == jnp.arange(T)[None, :]).astype(jnp.bfloat16)
+        ctk_all = jnp.concatenate([ctk_loc.astype(jnp.bfloat16),
+                                   ctk_fv.astype(jnp.bfloat16)], axis=1)  # [S, 3K]
+        Rm = jax.lax.dot_general(
+            U, ctk_all, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                           # [T, 3K]
+
+        # ---- anti-diagonal reduction: out[t] = Σ_k Rm[t-k, k] ----
+        Rp = jnp.pad(Rm, ((K - 1, 0), (0, 0)))
+        planes = []
+        for p in range(3):
+            acc = jnp.zeros((T,), jnp.float32)
+            for k in range(K):
+                acc = acc + jax.lax.slice_in_dim(
+                    Rp[:, p * K + k], K - 1 - k, K - 1 - k + T
+                )
+            planes.append(acc)
+        obj_loc, obj_feat, obj_val = planes
+
+        # ---- merge globals (disjoint slots) + validity mask ----
+        Gp = int(g_loc.shape[0])
+        pad_g = lambda x: jnp.pad(x, (0, T - Gp)) if Gp < T else x[:T]
+        loc_t = pad_g(g_loc) + obj_loc
+        feat_t = pad_g(g_feat) + obj_feat
+        val_t = pad_g(g_val) + obj_val
+        valid = jnp.arange(T) < total
+        out = jnp.stack(
+            [loc_t.astype(jnp.int32).astype(jnp.uint8),
+             feat_t.astype(jnp.int32).astype(jnp.uint8),
+             val_t.astype(jnp.int32).astype(jnp.uint8)],
+            axis=-1,
+        )
+        return jnp.where(valid[:, None], out, jnp.uint8(EMPTY))
+
+    return jax.vmap(render_one)(jnp.arange(A))

@@ -51,7 +51,33 @@ def _row_limits_all(tables):
     )
 
 
-def step_env_batched(state, actions, tables):
+def _track_agent_inv(state, tables, old_inv):
+    """Accumulate gained/lost from the net inventory change since ``old_inv``.
+
+    The sequential path counts every individual clamped update
+    (``refs.py:agent_inv_write``; reference ``agent.cpp:70-83``); the batched
+    phases apply one combined delta per phase, so gained/lost here are the
+    per-phase net. The two differ only when a single phase both adds and
+    removes the same (agent, resource) — e.g. an attacker stealing the same
+    resource its attack consumes — which nets out; all reward-driving flows
+    (crafting output, chest deposits, loot, regen) are single-signed per phase.
+    """
+    if not tables.track_gained:
+        return state
+    d = state.agent_inv - old_inv
+    return state.replace(
+        agent_gained=state.agent_gained + jnp.maximum(d, 0),
+        agent_lost=state.agent_lost + jnp.maximum(-d, 0),
+    )
+
+
+def step_env_batched_sim(state, actions, tables):
+    """Simulation-only batched step (no observation render); obs is a [1,1,3]
+    placeholder. Used by profiling tools to decompose step cost."""
+    return step_env_batched(state, actions, tables, render=False)
+
+
+def step_env_batched(state, actions, tables, render=True):
     """One batched-arbitration step. Same signature/returns as step_env."""
     A = tables.num_agents
     R = tables.num_resources
@@ -174,7 +200,9 @@ def step_env_batched(state, actions, tables):
             d = d.at[jnp.arange(A), r_loot].add(stolen)
             d = d.at[t, r_loot].add(-stolen)
         d = d - jnp.where(valid[:, None], tables.attack_consumed[None, :], 0)
-        state = state.replace(agent_inv=jnp.clip(state.agent_inv + d, 0, lims))
+        old_inv = state.agent_inv
+        state = state.replace(agent_inv=jnp.clip(old_inv + d, 0, lims))
+        state = _track_agent_inv(state, tables, old_inv)
         success = success | valid
         handled_attack = wants_attack  # losers of the arbitration fail outright
     else:
@@ -198,7 +226,9 @@ def step_env_batched(state, actions, tables):
         ok = ok & jnp.all((d_target <= 0) | (d_target <= free_t), axis=1)
         d = jnp.where(ok[:, None], d_actor, 0)
         d = d.at[t].add(jnp.where(ok[:, None], d_target, 0))
-        state = state.replace(agent_inv=jnp.clip(state.agent_inv + d, 0, lims))
+        old_inv = state.agent_inv
+        state = state.replace(agent_inv=jnp.clip(old_inv + d, 0, lims))
+        state = _track_agent_inv(state, tables, old_inv)
         success = success | ok
         handled_tr = wants_tr
     else:
@@ -283,9 +313,11 @@ def step_env_batched(state, actions, tables):
     # ---------- action resource consumption + motion stats ----------
     if bool((tables._cfg.action_consumed != 0).any()):
         consumed = jnp.where(success[:, None], tables.action_consumed[act], 0)
+        old_inv = state.agent_inv
         state = state.replace(
-            agent_inv=jnp.clip(state.agent_inv - consumed, 0, lims)
+            agent_inv=jnp.clip(old_inv - consumed, 0, lims)
         )
+        state = _track_agent_inv(state, tables, old_inv)
     ran = act_ok & ~is_frozen
     moved_any = (state.agent_r != state.agent_prev_r) | (state.agent_c != state.agent_prev_c)
     swm = jnp.where(moved_any, 0, state.agent_steps_without_motion + 1)
@@ -309,7 +341,10 @@ def step_env_batched(state, actions, tables):
     grid = grid.at[state.agent_r, state.agent_c].set(jnp.arange(A, dtype=grid.dtype) + 1)
     state = state.replace(agent_grid=grid)
 
-    obs = render_observations(state, tables, state.executed_action, state.reward)
+    if render:
+        obs = render_observations(state, tables, state.executed_action, state.reward)
+    else:
+        obs = jnp.zeros((1, 1, 3), jnp.uint8)
     state = compute_stat_rewards(state, tables)
     state = state.replace(episode_reward=state.episode_reward + state.reward)
 
@@ -485,7 +520,15 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
     d = jnp.zeros((A, R), jnp.int32)
     d = d.at[jnp.clip(in_idx, 0, A - 1).reshape(-1)].add(in_d.reshape(-1, R))
     d = d.at[jnp.clip(out_idx, 0, A - 1).reshape(-1)].add(out_d.reshape(-1, R))
-    state = state.replace(agent_inv=jnp.clip(state.agent_inv + d, 0, lims))
+    old_inv = state.agent_inv
+    state = state.replace(agent_inv=jnp.clip(old_inv + d, 0, lims))
+    state = _track_agent_inv(state, tables, old_inv)
+    if tables.track_chest_stats:
+        # assembler.<r>.created game stat (parity: assembler onUse output
+        # distribution accounting, assembler.py:197/:235 sequential path).
+        ok_b = ok_k[:, None, None]
+        created = jnp.sum(jnp.maximum(jnp.where(ok_b, out_d, 0), 0), axis=(0, 1))
+        state = state.replace(game_asm_created=state.game_asm_created + created)
 
     # expand compacted results back to the station axis
     ok_v = jnp.zeros((NA,), bool).at[st_order].set(ok_k)
@@ -534,14 +577,30 @@ def _chest_phase(state, tables, is_winner, sidx, lims):
         agent_d = got_w - give_dep
         chest_d = got_dep - give_w
         any_tr = jnp.any(got_dep > 0) | jnp.any(got_w > 0)
-        return ok & any_tr, actor, agent_d, chest_d
+        return ok & any_tr, actor, agent_d, chest_d, got_dep, give_w
 
-    ok_v, actor_v, agent_d, chest_d = jax.vmap(per_chest)(jnp.arange(NC))
+    ok_v, actor_v, agent_d, chest_d, got_dep, give_w = jax.vmap(per_chest)(
+        jnp.arange(NC)
+    )
+    old_inv = state.agent_inv
     state = state.replace(
-        agent_inv=jnp.clip(
-            state.agent_inv.at[actor_v].add(agent_d), 0, lims
-        ),
+        agent_inv=jnp.clip(old_inv.at[actor_v].add(agent_d), 0, lims),
         chest_inv=jnp.clip(state.chest_inv + chest_d, 0, 65535),
     )
+    state = _track_agent_inv(state, tables, old_inv)
+    if tables.track_chest_stats:
+        # Parity: chest.hpp:59-66 game stats + deposited_by_agent
+        # (actions.py:205-233 sequential path). The chest loses the full
+        # offered amount on withdraw (destroy-untransferred), so withdrawn
+        # counts give_w, while deposited counts only what the chest absorbed.
+        state = state.replace(
+            agent_chest_deposited=state.agent_chest_deposited.at[actor_v].add(
+                jnp.maximum(got_dep, 0)
+            ),
+            game_chest_deposited=state.game_chest_deposited
+            + jnp.sum(jnp.maximum(got_dep, 0), axis=0),
+            game_chest_withdrawn=state.game_chest_withdrawn
+            + jnp.sum(jnp.maximum(give_w, 0), axis=0),
+        )
     agent_success = is_winner & ok_v[jnp.clip(sidx, 0, NC - 1)]
     return state, agent_success

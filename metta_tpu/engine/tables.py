@@ -25,8 +25,10 @@ class Tables:
     only then (training envs turn them off; eval envs keep them).
     """
 
-    def __init__(self, cfg: CompiledConfig, track_stats: bool = True):
+    def __init__(self, cfg: CompiledConfig, track_stats: bool = True,
+                 obs_renderer: str = "mm"):
         self._cfg = cfg
+        self.obs_renderer = obs_renderer
         import numpy as _np
         from metta_tpu.engine import compiler as _C
 
