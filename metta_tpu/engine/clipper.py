@@ -18,7 +18,10 @@ import jax.numpy as jnp
 def clipper_step(state, tables, key):
     k_trial, k_pick, k_proto = jax.random.split(key, 3)
 
-    eligible = state.asm_valid & ~tables.type_clip_immune[state.asm_type]
+    NT = tables.type_clip_immune.shape[0]
+    toh = state.asm_type[:, None] == jnp.arange(NT)[None, :]
+    immune = jnp.any(toh & tables.type_clip_immune[None, :], axis=1)
+    eligible = state.asm_valid & ~immune
     unclipped = eligible & ~state.asm_clipped
     any_unclipped = jnp.any(unclipped)
 
@@ -45,18 +48,12 @@ def clipper_step(state, tables, key):
     # one random unclip protocol (clipper.hpp:180-190)
     proto = jax.random.randint(k_proto, (), 0, max(tables.n_unclip_protocols, 1))
 
+    # one-hot write of the single picked slot (scatter-free)
+    hit = do & (jnp.arange(logw.shape[0]) == pick)
     return state.replace(
-        asm_clipped=state.asm_clipped.at[pick].set(
-            jnp.where(do, True, state.asm_clipped[pick])
-        ),
-        asm_unclip_proto=state.asm_unclip_proto.at[pick].set(
-            jnp.where(do, proto, state.asm_unclip_proto[pick])
-        ),
+        asm_clipped=jnp.where(hit, True, state.asm_clipped),
+        asm_unclip_proto=jnp.where(hit, proto, state.asm_unclip_proto),
         # becoming clipped resets the cooldown (assembler.hpp:411-423)
-        asm_cooldown_end=state.asm_cooldown_end.at[pick].set(
-            jnp.where(do, state.step, state.asm_cooldown_end[pick])
-        ),
-        asm_cooldown_duration=state.asm_cooldown_duration.at[pick].set(
-            jnp.where(do, 0, state.asm_cooldown_duration[pick])
-        ),
+        asm_cooldown_end=jnp.where(hit, state.step, state.asm_cooldown_end),
+        asm_cooldown_duration=jnp.where(hit, 0, state.asm_cooldown_duration),
     )

@@ -877,10 +877,25 @@ def compile_game(game: GameConfig, game_map: GameMap) -> tuple[CompiledConfig, d
 
     scan_dr, scan_dc = center_out_scan_order(game.obs.height, game.obs.width)
 
-    # worst-case tokens a single cell can emit (static bound for the renderer)
+    # worst-case tokens a single cell can emit (static bound for the renderer).
+    # Protocol tokens are emitted only for the selected protocol's *nonzero*
+    # inputs/outputs, so the assembler bound is the max nonzero count over all
+    # protocols, not 2R (K sizes the renderer's per-cell planes — keep tight).
     k_agent = 3 + R * n_inv_tokens + max_tags
     k_wall = 1 + max_tags
-    k_asm = 3 + (2 * R if game.protocol_details_obs else 0) + max_tags + 1
+    if game.protocol_details_obs and (P > 0 or UP > 0):
+        nnz = [int((row != 0).sum()) for row in proto_in] + [
+            int((row != 0).sum()) for row in uproto_in
+        ]
+        nnz_out = [int((row != 0).sum()) for row in proto_out] + [
+            int((row != 0).sum()) for row in uproto_out
+        ]
+        max_proto_tokens = max(
+            (i + o for i, o in zip(nnz, nnz_out)), default=0
+        )
+    else:
+        max_proto_tokens = 0
+    k_asm = 3 + max_proto_tokens + max_tags + 1
     k_chest = 1 + R * n_inv_tokens + max_tags
     max_tokens_per_cell = max(k_agent, k_wall, k_asm, k_chest)
 

@@ -30,13 +30,26 @@ EMPTY = 255
 
 
 def _pad_block(feats, vals, valid, k):
-    """Pad (feature, value, valid) stacks to k slots."""
+    """Pad (feature, value, valid) stacks to k slots.
+
+    When the raw candidate-slot count exceeds k (e.g. assemblers list 2R
+    protocol slots but the compiled bound counts only the max *nonzero*
+    protocol entries), the valid tokens are stably compacted to the front and
+    truncated — the bound guarantees they fit, and order is preserved.
+    """
     n = feats.shape[0]
     if n < k:
         pad = k - n
         feats = jnp.concatenate([feats, jnp.zeros((pad,), feats.dtype)])
         vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    elif n > k:
+        vi = valid.astype(jnp.int32)
+        rank = jnp.cumsum(vi) - vi
+        oh = valid[:, None] & (rank[:, None] == jnp.arange(k)[None, :])  # [n, k]
+        feats = jnp.sum(jnp.where(oh, feats[:, None], 0), axis=0)
+        vals = jnp.sum(jnp.where(oh, vals[:, None], 0), axis=0)
+        valid = jnp.any(oh, axis=0)
     return feats, vals, valid
 
 
@@ -103,6 +116,16 @@ def build_wall_blocks(tables):
     return jnp.stack([feats, vals], axis=-1), ok
 
 
+def _type_lut(tables, t):
+    """One-hot object-type lookups (scalar t; per-lane gathers serialize on TPU)."""
+    NT = tables.n_object_types
+    toh = t == jnp.arange(NT)
+    tags = jnp.sum(jnp.where(toh[:, None], tables.type_tags, 0), axis=0)
+    vibe = jnp.sum(jnp.where(toh, tables.type_vibe, 0))
+    max_uses = jnp.sum(jnp.where(toh, tables.type_max_uses, 0))
+    return tags, vibe, max_uses
+
+
 def build_assembler_blocks(state, tables):
     """Per-assembler block (assembler.hpp:528-578)."""
     f = tables.feat_id
@@ -111,8 +134,8 @@ def build_assembler_blocks(state, tables):
 
     def one(i):
         t = state.asm_type[i]
+        type_tags, type_vibe, max_uses = _type_lut(tables, t)
         remaining = jnp.clip(state.asm_cooldown_end[i] - state.step, 0, 255)
-        max_uses = tables.type_max_uses[t]
         remaining_uses = jnp.clip(max_uses - state.asm_uses[i], 0, 255)
         head_f = jnp.array([f["cooldown_remaining"], f["clipped"], f["remaining_uses"]], jnp.int32)
         head_v = jnp.stack([remaining, state.asm_clipped[i].astype(jnp.int32), remaining_uses])
@@ -127,10 +150,18 @@ def build_assembler_blocks(state, tables):
             p_idx = jnp.where(use_un, p_un, p_norm)
             has_p = p_idx >= 0
             p_safe = jnp.clip(p_idx, 0, None)
-            inputs = jnp.where(use_un, tables.uproto_in[jnp.clip(p_safe, 0, tables.n_unclip_protocols - 1)],
-                               tables.proto_in[jnp.clip(p_safe, 0, tables.n_protocols - 1)])
-            outputs = jnp.where(use_un, tables.uproto_out[jnp.clip(p_safe, 0, tables.n_unclip_protocols - 1)],
-                                tables.proto_out[jnp.clip(p_safe, 0, tables.n_protocols - 1)])
+            pn_oh = jnp.clip(p_safe, 0, tables.n_protocols - 1) == jnp.arange(tables.n_protocols)
+            pu_oh = jnp.clip(p_safe, 0, tables.n_unclip_protocols - 1) == jnp.arange(tables.n_unclip_protocols)
+            inputs = jnp.where(
+                use_un,
+                jnp.sum(jnp.where(pu_oh[:, None], tables.uproto_in, 0), axis=0),
+                jnp.sum(jnp.where(pn_oh[:, None], tables.proto_in, 0), axis=0),
+            )
+            outputs = jnp.where(
+                use_un,
+                jnp.sum(jnp.where(pu_oh[:, None], tables.uproto_out, 0), axis=0),
+                jnp.sum(jnp.where(pn_oh[:, None], tables.proto_out, 0), axis=0),
+            )
             in_f = tables.proto_input_feature
             out_f = tables.proto_output_feature
             proto_f = jnp.concatenate([in_f, out_f])
@@ -142,11 +173,11 @@ def build_assembler_blocks(state, tables):
             proto_ok = jnp.zeros((0,), bool)
 
         tag_f = jnp.full((tables.max_tags,), f["tag"], jnp.int32)
-        tag_v = jnp.maximum(tables.type_tags[t], 0)
-        tag_ok = tables.type_tags[t] >= 0
+        tag_v = jnp.maximum(type_tags, 0)
+        tag_ok = type_tags >= 0
         vibe_f = jnp.array([f["vibe"]], jnp.int32)
-        vibe_v = tables.type_vibe[t][None]
-        vibe_ok = (tables.type_vibe[t] != 0)[None]
+        vibe_v = type_vibe[None]
+        vibe_ok = (type_vibe != 0)[None]
 
         feats = jnp.concatenate([head_f, proto_f, tag_f, vibe_f])
         vals = jnp.concatenate([head_v, proto_v, tag_v, vibe_v])
@@ -164,13 +195,14 @@ def build_chest_blocks(state, tables):
 
     def one(i):
         t = state.chest_type[i]
+        type_tags, type_vibe, _ = _type_lut(tables, t)
         vibe_f = jnp.array([f["vibe"]], jnp.int32)
-        vibe_v = tables.type_vibe[t][None]
-        vibe_ok = (tables.type_vibe[t] != 0)[None]
+        vibe_v = type_vibe[None]
+        vibe_ok = (type_vibe != 0)[None]
         inv_f, inv_v, inv_ok = _inventory_tokens(tables, state.chest_inv[i])
         tag_f = jnp.full((tables.max_tags,), f["tag"], jnp.int32)
-        tag_v = jnp.maximum(tables.type_tags[t], 0)
-        tag_ok = tables.type_tags[t] >= 0
+        tag_v = jnp.maximum(type_tags, 0)
+        tag_ok = type_tags >= 0
         feats = jnp.concatenate([vibe_f, inv_f, tag_f])
         vals = jnp.concatenate([vibe_v, inv_v, tag_v])
         ok = jnp.concatenate([vibe_ok, inv_ok, tag_ok]) & state.chest_valid[i]
@@ -202,7 +234,12 @@ def render_observations(state, tables, executed_actions, rewards_at_obs):
     (kept as the readable reference; both are byte-identical, pinned by
     ``tests/test_obs_mm.py``).
     """
-    if getattr(tables, "obs_renderer", "mm") == "mm":
+    renderer = getattr(tables, "obs_renderer", "mm")
+    if renderer == "pl":
+        from metta_tpu.ops.obs_render import render_obs_pallas
+
+        return render_obs_pallas(state, tables, executed_actions, rewards_at_obs)
+    if renderer == "mm":
         from metta_tpu.engine.obs_mm import render_observations_mm
 
         return render_observations_mm(state, tables, executed_actions, rewards_at_obs)

@@ -6,19 +6,21 @@ Produces byte-identical output to :func:`metta_tpu.engine.obs.render_observation
 gathers or scatters** — on TPU, XLA lowers generic gathers to ~30 ns/element
 scalar loops, which made the gather renderer ~95% of the whole env step.
 
-Formulation (per agent; all matmuls are one-hot contractions on the MXU):
+Formulation (all matmuls are one-hot contractions on the MXU; the agent axis
+is folded into the GEMM M dimension so each env issues a few large matmuls
+instead of per-agent slivers):
 
-1. *Window read*: one-hot row/col matrices over the zero-padded grids turn
-   the egocentric window read (in center-out scan order) into two small
-   matmuls — no gather.
-2. *Block lookup*: a ``[S, NB]`` one-hot of each window cell's block index
-   against the per-env block table gives per-cell token planes
-   (``CTK[s, k]``) and token counts as matmuls.
+1. *Window read*: a ``[A*S, Hp]`` one-hot row matmul over the zero-padded
+   grid planes + a masked column reduce turn every agent's egocentric window
+   read (in center-out scan order) into one GEMM per env — no gather.
+2. *Block lookup*: an ``[A*S, NB]`` one-hot against the per-env block table
+   gives per-cell token planes and token counts in a single GEMM (counts ride
+   along as an extra table column).
 3. *Compaction*: each cell's tokens start at output slot
-   ``start[s] = g_count + cum_excl[s]``. A ``[S, T]`` one-hot ``U`` of
-   ``start`` scatters whole cells via ``R = Uᵀ @ CTK``; the intra-cell
-   offset ``k`` is then resolved by summing ``R`` along anti-diagonals
-   (``out[t] = Σ_k R[t-k, k]``) — a static-slice reduction, not a gather.
+   ``start[s] = g_count + cum_excl[s]``. An ``[S, T]`` one-hot ``U`` scatters
+   whole cells via a batched (over agents) ``Uᵀ @ CTK``; the intra-cell
+   offset ``k`` is then resolved by summing along anti-diagonals
+   (``out[t] = Σ_k R[t-k, k]``) — static slices, not gathers.
 
 Exactness: every matmul is a 0/1 one-hot against integer-valued planes
 ``< 256`` (bf16-exact) accumulated in f32 (exact for ints < 2^24), so the
@@ -49,27 +51,31 @@ def _compact_blocks_mm(blocks, oks, K):
     blocks [NB, K, 2] int32, oks [NB, K] → (feat_plane, val_plane [NB, K] f32
     with garbage slots zeroed, counts [NB] int32).
     """
-    order = jnp.argsort(jnp.where(oks, 0, 1), axis=1, stable=True)  # [NB, K]
-    oh = (order[:, :, None] == jnp.arange(K)[None, None, :]).astype(jnp.bfloat16)
-    counts = jnp.sum(oks.astype(jnp.int32), axis=1)
-    kmask = (jnp.arange(K)[None, :] < counts[:, None])
+    # rank of slot k = #valid slots before it (valid) — stable compaction
+    # order computed by counting, no sort
+    oki = oks.astype(jnp.int32)
+    rank = jnp.cumsum(oki, axis=1) - oki                       # [NB, K]
+    oh = (oks[:, :, None] & (rank[:, :, None] == jnp.arange(K)[None, None, :]))
+    counts = jnp.sum(oki, axis=1)
     planes = []
     for c in range(2):
-        src = (blocks[:, :, c] % 256).astype(jnp.bfloat16)        # [NB, K]
-        comp = jnp.einsum("bok,bk->bo", oh, src,
-                          preferred_element_type=jnp.float32)      # [NB, K]
-        planes.append(jnp.where(kmask, comp, 0.0))
+        src = (blocks[:, :, c] % 256)                          # [NB, K]
+        comp = jnp.sum(jnp.where(oh, src[:, :, None], 0), axis=1)  # [NB, K]
+        planes.append(comp.astype(jnp.float32))
     return planes[0], planes[1], counts
 
 
-def _global_tokens(state, tables, executed_actions, rewards_at_obs, a,
-                   map_center_r, map_center_c, ohr, owr):
-    """Per-agent global token planes, compacted via rank one-hot.
+def _global_tokens_all(state, tables, executed_actions, rewards_at_obs,
+                       map_center_r, map_center_c, ohr, owr):
+    """Global token planes for every agent, compacted via rank one-hot.
 
-    Returns (g_count scalar, loc/feat/val planes [Gp] f32) with Gp static.
+    Returns (g_count [A], loc/feat/val planes [A, G]) with G static.
     """
+    A = tables.num_agents
     f = tables.feat_id
     center_loc = jnp.float32((ohr << 4) | owr)
+    ones = jnp.ones((A,), jnp.float32)
+    tru = jnp.ones((A,), bool)
     feats, vals, oks, locs = [], [], [], []
     if tables.global_episode_completion:
         if tables.max_steps > 0:
@@ -80,45 +86,47 @@ def _global_tokens(state, tables, executed_actions, rewards_at_obs, a,
             )
         else:
             pct = jnp.int32(0)
-        feats.append(jnp.float32(f["episode_completion_pct"]))
-        vals.append(pct.astype(jnp.float32))
-        oks.append(jnp.bool_(True))
-        locs.append(center_loc)
+        feats.append(ones * f["episode_completion_pct"])
+        vals.append(jnp.broadcast_to(pct.astype(jnp.float32), (A,)))
+        oks.append(tru)
+        locs.append(ones * center_loc)
     if tables.global_last_action:
-        feats.append(jnp.float32(f["last_action"]))
-        vals.append(executed_actions[a].astype(jnp.float32))
-        oks.append(jnp.bool_(True))
-        locs.append(center_loc)
+        feats.append(ones * f["last_action"])
+        vals.append(executed_actions.astype(jnp.float32))
+        oks.append(tru)
+        locs.append(ones * center_loc)
     if tables.global_last_reward:
-        feats.append(jnp.float32(f["last_reward"]))
-        vals.append(jnp.round(rewards_at_obs[a] * 100.0))
-        oks.append(jnp.bool_(True))
-        locs.append(center_loc)
+        feats.append(ones * f["last_reward"])
+        vals.append(jnp.round(rewards_at_obs * 100.0))
+        oks.append(tru)
+        locs.append(ones * center_loc)
     if tables.global_goal:
         for r in range(tables.num_resources):
-            feats.append(jnp.float32(f["goal"]))
-            vals.append(tables.inv_feature_ids[r, 0].astype(jnp.float32))
-            oks.append(tables.goal_token_mask[a, r])
-            locs.append(center_loc)
+            feats.append(ones * f["goal"])
+            vals.append(ones * tables.inv_feature_ids[r, 0].astype(jnp.float32))
+            oks.append(tables.goal_token_mask[:, r])
+            locs.append(ones * center_loc)
     if tables.global_compass:
-        sr = jnp.sign(map_center_r - state.agent_r[a])
-        sc = jnp.sign(map_center_c - state.agent_c[a])
-        feats.append(jnp.float32(f["agent:compass"]))
-        vals.append(jnp.float32(1))
+        sr = jnp.sign(map_center_r - state.agent_r)
+        sc = jnp.sign(map_center_c - state.agent_c)
+        feats.append(ones * f["agent:compass"])
+        vals.append(ones)
         oks.append((sr != 0) | (sc != 0))
         locs.append((((ohr + sr) << 4) | (owr + sc)).astype(jnp.float32))
 
     G = len(feats)
     if G == 0:
-        z = jnp.zeros((1,), jnp.float32)
-        return jnp.int32(0), z, z, z
-    ok = jnp.stack(oks)                                            # [G]
-    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
-    oh = (ok[:, None] & (rank[:, None] == jnp.arange(G)[None, :])).astype(jnp.float32)
-    g_loc = jnp.einsum("gt,g->t", oh, jnp.stack(locs))
-    g_feat = jnp.einsum("gt,g->t", oh, jnp.stack(feats))
-    g_val = jnp.einsum("gt,g->t", oh, jnp.stack(vals))
-    return jnp.sum(ok.astype(jnp.int32)), g_loc, g_feat, g_val
+        z = jnp.zeros((A, 1), jnp.float32)
+        return jnp.zeros((A,), jnp.int32), z, z, z
+    ok = jnp.stack(oks, axis=1)                                 # [A, G]
+    oki = ok.astype(jnp.int32)
+    rank = jnp.cumsum(oki, axis=1) - oki                        # [A, G]
+    # scatter entry g to compacted position rank[g] (one-hot over G positions)
+    oh = ok[:, :, None] & (rank[:, :, None] == jnp.arange(G)[None, None, :])
+    g_loc = jnp.sum(jnp.where(oh, jnp.stack(locs, 1)[:, :, None], 0), axis=1)
+    g_feat = jnp.sum(jnp.where(oh, jnp.stack(feats, 1)[:, :, None], 0), axis=1)
+    g_val = jnp.sum(jnp.where(oh, jnp.stack(vals, 1)[:, :, None], 0), axis=1)
+    return jnp.sum(oki, axis=1), g_loc, g_feat, g_val
 
 
 def render_observations_mm(state, tables, executed_actions, rewards_at_obs):
@@ -130,7 +138,6 @@ def render_observations_mm(state, tables, executed_actions, rewards_at_obs):
     A = tables.num_agents
     T = tables.num_obs_tokens
     K = tables.max_tokens_per_cell
-    R = tables.num_resources
     oh_, ow_ = tables.obs_height, tables.obs_width
     ohr, owr = oh_ // 2, ow_ // 2
     H, W = tables.height, tables.width
@@ -180,79 +187,79 @@ def render_observations_mm(state, tables, executed_actions, rewards_at_obs):
     scan_dc = tables.scan_dc
     S = int(scan_dr.shape[0])
     loc_bytes = (((scan_dr + ohr) << 4) | (scan_dc + owr)).astype(jnp.float32)
-    counts_bf = counts.astype(jnp.bfloat16)
-    comp_all = jnp.concatenate(
-        [comp_feat.astype(jnp.bfloat16), comp_val.astype(jnp.bfloat16)], axis=1
-    )                                                               # [NB, 2K]
+    comp_plus = jnp.concatenate(
+        [comp_feat, comp_val, counts.astype(jnp.float32)[:, None]], axis=1
+    ).astype(jnp.bfloat16)                                          # [NB, 2K+1]
     map_center_r, map_center_c = H // 2, W // 2
     kiota = jnp.arange(K)
 
-    def render_one(a):
-        ar, ac = state.agent_r[a], state.agent_c[a]
+    # ---- window read: one [A*S, Hp] GEMM + masked column reduce ----
+    rows = state.agent_r[:, None] + scan_dr[None, :] + ohr          # [A, S]
+    cols = state.agent_c[:, None] + scan_dc[None, :] + owr          # [A, S]
+    row_oh = (rows[:, :, None] == jnp.arange(Hp)[None, None, :]).astype(gdtype)
+    tmp = jax.lax.dot_general(
+        row_oh.reshape(A * S, Hp), grid2.reshape(Hp, Wp * 2),
+        (((1,), (0,)), ((), ())),
+        precision=gprec, preferred_element_type=jnp.float32,
+    ).reshape(A, S, Wp, 2)
+    col_oh = cols[:, :, None] == jnp.arange(Wp)[None, None, :]      # [A, S, Wp]
+    win = jnp.sum(jnp.where(col_oh[..., None], tmp, 0.0), axis=2)   # [A, S, 2]
+    a_plus1 = win[..., 0].astype(jnp.int32)
+    sblock = win[..., 1].astype(jnp.int32)
+    block_idx = jnp.where(a_plus1 > 0, off_agent + a_plus1 - 1, sblock)  # [A, S]
 
-        # ---- window read via one-hot row/col matmuls (scan order direct) ----
-        row_oh = (jnp.arange(Hp)[None, :] == (ar + scan_dr + ohr)[:, None]).astype(gdtype)
-        col_oh = (jnp.arange(Wp)[None, :] == (ac + scan_dc + owr)[:, None]).astype(gdtype)
-        tmp = jax.lax.dot_general(
-            row_oh, grid2.reshape(Hp, Wp * 2),
-            (((1,), (0,)), ((), ())),
-            precision=gprec, preferred_element_type=jnp.float32,
-        ).reshape(S, Wp, 2)
-        win = jnp.sum(tmp * col_oh.astype(jnp.float32)[:, :, None], axis=1)  # [S, 2]
-        a_plus1 = win[:, 0].astype(jnp.int32)
-        sblock = win[:, 1].astype(jnp.int32)
-        block_idx = jnp.where(a_plus1 > 0, off_agent + a_plus1 - 1, sblock)
+    # ---- per-cell token planes + counts in one [A*S, NB] GEMM ----
+    boh = (block_idx[:, :, None] == jnp.arange(NB)[None, None, :]).astype(jnp.bfloat16)
+    ctk = jax.lax.dot_general(
+        boh.reshape(A * S, NB), comp_plus,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(A, S, 2 * K + 1)
+    counts_w = ctk[..., -1].astype(jnp.int32)                       # [A, S]
+    kmask_w = kiota[None, None, :] < counts_w[:, :, None]           # [A, S, K]
+    ctk_loc = jnp.where(kmask_w, loc_bytes[None, :, None], 0.0)     # [A, S, K]
 
-        # ---- per-cell token planes + counts via [S, NB] one-hot ----
-        boh = (block_idx[:, None] == jnp.arange(NB)[None, :]).astype(jnp.bfloat16)
-        counts_w = jnp.einsum("sb,b->s", boh, counts_bf,
-                              preferred_element_type=jnp.float32).astype(jnp.int32)
-        ctk_fv = jnp.einsum("sb,bk->sk", boh, comp_all,
-                            preferred_element_type=jnp.float32)     # [S, 2K]
-        kmask_w = (kiota[None, :] < counts_w[:, None])
-        ctk_loc = jnp.where(kmask_w, loc_bytes[:, None], 0.0)       # [S, K]
+    # ---- output-slot scatter via batched [S, T] start one-hot ----
+    g_count, g_loc, g_feat, g_val = _global_tokens_all(
+        state, tables, executed_actions, rewards_at_obs,
+        map_center_r, map_center_c, ohr, owr,
+    )
+    cum = jnp.cumsum(counts_w, axis=1)                              # [A, S]
+    start = g_count[:, None] + cum - counts_w
+    total = g_count + cum[:, -1]
+    U = (start[:, :, None] == jnp.arange(T)[None, None, :]).astype(jnp.bfloat16)
+    ctk_all = jnp.concatenate(
+        [ctk_loc.astype(jnp.bfloat16), ctk[..., : 2 * K].astype(jnp.bfloat16)], axis=2
+    )                                                               # [A, S, 3K]
+    Rm = jax.lax.dot_general(
+        U, ctk_all, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                               # [A, T, 3K]
 
-        # ---- output-slot scatter via [S, T] start one-hot ----
-        g_count, g_loc, g_feat, g_val = _global_tokens(
-            state, tables, executed_actions, rewards_at_obs, a,
-            map_center_r, map_center_c, ohr, owr,
-        )
-        cum = jnp.cumsum(counts_w)
-        start = g_count + cum - counts_w                            # [S]
-        total = g_count + cum[-1]
-        U = (start[:, None] == jnp.arange(T)[None, :]).astype(jnp.bfloat16)
-        ctk_all = jnp.concatenate([ctk_loc.astype(jnp.bfloat16),
-                                   ctk_fv.astype(jnp.bfloat16)], axis=1)  # [S, 3K]
-        Rm = jax.lax.dot_general(
-            U, ctk_all, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                           # [T, 3K]
+    # ---- anti-diagonal reduction: out[a, t] = Σ_k Rm[a, t-k, k] ----
+    Rp = jnp.pad(Rm, ((0, 0), (K - 1, 0), (0, 0)))
+    planes = []
+    for p in range(3):
+        acc = jnp.zeros((A, T), jnp.float32)
+        for k in range(K):
+            acc = acc + jax.lax.slice_in_dim(
+                Rp[:, :, p * K + k], K - 1 - k, K - 1 - k + T, axis=1
+            )
+        planes.append(acc)
+    obj_loc, obj_feat, obj_val = planes
 
-        # ---- anti-diagonal reduction: out[t] = Σ_k Rm[t-k, k] ----
-        Rp = jnp.pad(Rm, ((K - 1, 0), (0, 0)))
-        planes = []
-        for p in range(3):
-            acc = jnp.zeros((T,), jnp.float32)
-            for k in range(K):
-                acc = acc + jax.lax.slice_in_dim(
-                    Rp[:, p * K + k], K - 1 - k, K - 1 - k + T
-                )
-            planes.append(acc)
-        obj_loc, obj_feat, obj_val = planes
-
-        # ---- merge globals (disjoint slots) + validity mask ----
-        Gp = int(g_loc.shape[0])
-        pad_g = lambda x: jnp.pad(x, (0, T - Gp)) if Gp < T else x[:T]
-        loc_t = pad_g(g_loc) + obj_loc
-        feat_t = pad_g(g_feat) + obj_feat
-        val_t = pad_g(g_val) + obj_val
-        valid = jnp.arange(T) < total
-        out = jnp.stack(
-            [loc_t.astype(jnp.int32).astype(jnp.uint8),
-             feat_t.astype(jnp.int32).astype(jnp.uint8),
-             val_t.astype(jnp.int32).astype(jnp.uint8)],
-            axis=-1,
-        )
-        return jnp.where(valid[:, None], out, jnp.uint8(EMPTY))
-
-    return jax.vmap(render_one)(jnp.arange(A))
+    # ---- merge globals (disjoint slots) + validity mask ----
+    Gp = int(g_loc.shape[1])
+    pad_g = (lambda x: jnp.pad(x, ((0, 0), (0, T - Gp)))) if Gp < T else (
+        lambda x: x[:, :T]
+    )
+    loc_t = pad_g(g_loc) + obj_loc
+    feat_t = pad_g(g_feat) + obj_feat
+    val_t = pad_g(g_val) + obj_val
+    valid = jnp.arange(T)[None, :] < total[:, None]
+    out = jnp.stack(
+        [loc_t.astype(jnp.int32).astype(jnp.uint8),
+         feat_t.astype(jnp.int32).astype(jnp.uint8),
+         val_t.astype(jnp.int32).astype(jnp.uint8)],
+        axis=-1,
+    )
+    return jnp.where(valid[:, :, None], out, jnp.uint8(EMPTY))

@@ -45,9 +45,16 @@ def surrounding_vibe_key(state, tables, r, c):
     rr = r + offs[:, 0]
     cc = c + offs[:, 1]
     in_bounds = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
-    occ, a_idx = agent_at(state, rr, cc)
+    match = (state.agent_r[None, :] == rr[..., None]) & (
+        state.agent_c[None, :] == cc[..., None]
+    )  # [8, A]
+    occ = jnp.any(match, axis=-1)
+    a_idx = jnp.argmax(match, axis=-1).astype(jnp.int32)
     is_agent = in_bounds & occ
-    vibes = jnp.where(is_agent, state.agent_vibe[a_idx], 0)
+    # ≤1 match per cell → masked sum replaces the agent_vibe[a_idx] gather
+    vibes = jnp.where(
+        is_agent, jnp.sum(jnp.where(match, state.agent_vibe[None, :], 0), axis=-1), 0
+    )
     key_vec = jnp.sort(vibes)  # ascending; zeros pad the front
     n_agents = jnp.sum(is_agent.astype(jnp.int32))
     return key_vec, n_agents, is_agent, a_idx, in_bounds
@@ -56,7 +63,7 @@ def surrounding_vibe_key(state, tables, r, c):
 def _pick(tables, cand_mask):
     score = jnp.where(cand_mask, tables.proto_rank, -1)
     best = jnp.argmax(score)
-    return jnp.where(score[best] >= 0, best.astype(jnp.int32), jnp.int32(-1))
+    return jnp.where(jnp.max(score) >= 0, best.astype(jnp.int32), jnp.int32(-1))
 
 
 def select_protocol(tables, type_id, key_vec, n_agents):
@@ -71,7 +78,11 @@ def select_protocol(tables, type_id, key_vec, n_agents):
 
 def select_unclip_protocol(tables, uproto_idx, key_vec, n_agents):
     """The single assigned unclip protocol, if its key matches (else -1)."""
-    i = jnp.clip(uproto_idx, 0, tables.uproto_key.shape[0] - 1)
-    ok = (uproto_idx >= 0) & (tables.uproto_min_agents[i] <= n_agents)
-    key_match = jnp.all(tables.uproto_key[i] == key_vec) | jnp.all(tables.uproto_key[i] == 0)
+    NUP = tables.uproto_key.shape[0]
+    i = jnp.clip(uproto_idx, 0, NUP - 1)
+    ioh = i == jnp.arange(NUP)                                   # one-hot row pick
+    min_agents = jnp.sum(jnp.where(ioh, tables.uproto_min_agents, 0))
+    key_i = jnp.sum(jnp.where(ioh[:, None], tables.uproto_key, 0), axis=0)
+    ok = (uproto_idx >= 0) & (min_agents <= n_agents)
+    key_match = jnp.all(key_i == key_vec) | jnp.all(key_i == 0)
     return jnp.where(ok & key_match, i, -1)

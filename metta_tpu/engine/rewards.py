@@ -31,8 +31,14 @@ from metta_tpu.engine.inventory import inv_update
 
 
 def compute_stat_rewards(state, tables):
-    """Add stat-reward deltas to the per-step reward; returns new state."""
+    """Add stat-reward deltas to the per-step reward; returns new state.
+
+    The (source, resource) stat-slot lookups are static tables, expanded to
+    one-hot masks so the whole computation is a masked reduction (per-lane
+    gathers serialize on TPU).
+    """
     A = tables.num_agents
+    R = tables.num_resources
 
     chest_amount = jnp.sum(
         jnp.where(state.chest_valid[:, None], state.chest_inv, 0), axis=0
@@ -40,27 +46,26 @@ def compute_stat_rewards(state, tables):
 
     src = tables.stat_src      # [A, S]
     idx = tables.stat_idx      # [A, S]
+    S = src.shape[1]
 
-    def per_agent_tables(a):
-        return jnp.stack([
-            jnp.zeros_like(state.agent_inv[a]),  # SRC_ZERO
-            state.agent_inv[a],                   # SRC_INV_AMOUNT
-            state.agent_gained[a],                # SRC_GAINED
-            state.agent_lost[a],                  # SRC_LOST
-            chest_amount,                         # SRC_CHEST_AMOUNT
-            state.game_chest_deposited,           # SRC_CHEST_DEPOSITED
-            state.game_chest_withdrawn,           # SRC_CHEST_WITHDRAWN
-            state.agent_chest_deposited[a],       # SRC_CHEST_DEPOSITED_BY_AGENT
-            state.game_asm_created,               # SRC_ASM_CREATED
-        ])  # [9, R]
+    table = jnp.stack([
+        jnp.zeros_like(state.agent_inv),               # SRC_ZERO
+        state.agent_inv,                                # SRC_INV_AMOUNT
+        state.agent_gained,                             # SRC_GAINED
+        state.agent_lost,                               # SRC_LOST
+        jnp.broadcast_to(chest_amount, (A, R)),         # SRC_CHEST_AMOUNT
+        jnp.broadcast_to(state.game_chest_deposited, (A, R)),  # SRC_CHEST_DEPOSITED
+        jnp.broadcast_to(state.game_chest_withdrawn, (A, R)),  # SRC_CHEST_WITHDRAWN
+        state.agent_chest_deposited,                    # SRC_CHEST_DEPOSITED_BY_AGENT
+        jnp.broadcast_to(state.game_asm_created, (A, R)),      # SRC_ASM_CREATED
+    ], axis=1)                                          # [A, 9, R]
 
-    def one(a):
-        table = per_agent_tables(a)  # [9, R]
-        vals = table[src[a], idx[a]].astype(jnp.float32)  # [S]
-        contrib = jnp.minimum(vals * tables.stat_w[a], tables.stat_max[a])
-        return jnp.sum(contrib)
-
-    new_level = jax.vmap(one)(jnp.arange(A))  # [A]
+    srcoh = src[:, :, None] == jnp.arange(9)[None, None, :]        # [A, S, 9]
+    idxoh = idx[:, :, None] == jnp.arange(R)[None, None, :]        # [A, S, R]
+    picked = jnp.sum(jnp.where(srcoh[:, :, :, None], table[:, None], 0), axis=2)  # [A, S, R]
+    vals = jnp.sum(jnp.where(idxoh, picked, 0), axis=2).astype(jnp.float32)       # [A, S]
+    contrib = jnp.minimum(vals * tables.stat_w, tables.stat_max)
+    new_level = jnp.sum(contrib, axis=1)                # [A]
     delta = new_level - state.agent_current_stat_reward
     return state.replace(
         reward=state.reward + delta,
@@ -96,7 +101,10 @@ def apply_regen(state, tables):
     interval = tables.inventory_regen_interval
     tick = (state.step % interval) == 0
     vibes = jnp.clip(state.agent_vibe, 0, tables.num_vibes - 1)
-    amounts = tables.agent_regen[jnp.arange(tables.num_agents), vibes]  # [A, R]
+    voh = vibes[:, None] == jnp.arange(tables.num_vibes)[None, :]       # [A, V]
+    amounts = jnp.sum(
+        jnp.where(voh[:, :, None], tables.agent_regen, 0), axis=1
+    )  # [A, R] — one-hot LUT (per-lane gathers serialize on TPU)
     do = tick & tables.agent_has_regen
 
     if tables.inv_vector_ok:

@@ -77,6 +77,40 @@ def step_env_batched_sim(state, actions, tables):
     return step_env_batched(state, actions, tables, render=False)
 
 
+def _lut(table, idx, n):
+    """Gather-free lookup ``table[idx]`` via one-hot sum (idx [A], n rows).
+
+    TPU lowers per-lane gathers to serialized scalar loops; for the small
+    decode/config tables here (actions, vibes, types) a masked one-hot
+    reduction is branch-free vector code instead.
+    """
+    oh = idx[:, None] == jnp.arange(n)[None, :]
+    if table.ndim == 1:
+        return jnp.sum(jnp.where(oh, table[None, :], 0), axis=1)
+    return jnp.sum(jnp.where(oh[:, :, None], table[None, :, :], 0), axis=1)
+
+
+def _lut_bool(table, idx, n):
+    oh = idx[:, None] == jnp.arange(n)[None, :]
+    return jnp.any(oh & table[None, :], axis=1)
+
+
+def _read_cells(plane_hw, r, c):
+    """Gather-free grid read ``plane_hw[r, c]`` for index vectors r, c.
+
+    One-hot row matmul + masked column reduce; exact for integer planes
+    (values < 2^24 accumulate exactly in f32).
+    """
+    H, W = plane_hw.shape
+    roh = (r[:, None] == jnp.arange(H)[None, :]).astype(jnp.float32)
+    coh = c[:, None] == jnp.arange(W)[None, :]
+    tmp = jax.lax.dot_general(
+        roh, plane_hw.astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )                                                   # [N, W]
+    return jnp.sum(jnp.where(coh, tmp, 0.0), axis=1).astype(plane_hw.dtype)
+
+
 def step_env_batched(state, actions, tables, render=True):
     """One batched-arbitration step. Same signature/returns as step_env."""
     A = tables.num_agents
@@ -93,18 +127,19 @@ def step_env_batched(state, actions, tables, render=True):
     perm = jax.random.permutation(k_perm, A)
     rank = jnp.argsort(perm)                            # rank[a] = position in order
 
-    # ---------- decode ----------
+    # ---------- decode (one-hot LUTs; see _lut) ----------
     act_ok = (actions >= 0) & (actions < tables.n_actions)
     act = jnp.clip(actions, 0, tables.n_actions - 1)
-    kind = tables.action_kind[act]
-    arg = tables.action_arg[act]
+    NACT = tables.n_actions
+    kind = _lut(tables.action_kind, act, NACT)
+    arg = _lut(tables.action_arg, act, NACT)
     frozen = state.agent_frozen
     is_frozen = frozen != 0
     state = state.replace(
         agent_frozen=jnp.where(act_ok & is_frozen & (frozen > 0), frozen - 1, frozen)
     )
     has_required = jnp.all(
-        state.agent_inv >= tables.action_required[act], axis=1
+        state.agent_inv >= _lut(tables.action_required, act, NACT), axis=1
     )
     attempt = act_ok & ~is_frozen & has_required
 
@@ -117,15 +152,18 @@ def step_env_batched(state, actions, tables, render=True):
 
     # ---------- movement proposals ----------
     movers = attempt & (kind == ACT_MOVE)
-    delta = tables.move_deltas[jnp.clip(arg, 0, 7)]     # [A, 2]
+    delta = _lut(tables.move_deltas, jnp.clip(arg, 0, 7), 8)  # [A, 2]
     r0, c0 = state.agent_r, state.agent_c
     r1 = r0 + delta[:, 0]
     c1 = c0 + delta[:, 1]
     in_b = (r1 >= 0) & (r1 < H) & (c1 >= 0) & (c1 < W)
     movers = movers & in_b
     rs, cs = jnp.clip(r1, 0, H - 1), jnp.clip(c1, 0, W - 1)
-    skind = jnp.where(movers, state.static_kind[rs, cs], 0)
-    sidx = state.static_idx[rs, cs]
+    # pack (kind, idx) into one plane so the one-hot grid read runs once
+    packed = state.static_kind.astype(jnp.int32) * 65536 + state.static_idx
+    pk = _read_cells(packed, rs, cs)
+    skind = jnp.where(movers, pk // 65536, 0)
+    sidx = pk % 65536
 
     # pre-step occupancy: target agent (if any)
     tgt_match = (r1[:, None] == r0[None, :]) & (c1[:, None] == c0[None, :])  # [A, A]
@@ -136,42 +174,68 @@ def step_env_batched(state, actions, tables, render=True):
     vibe = jnp.clip(state.agent_vibe, 0, tables.num_vibes - 1)
     lims = _row_limits_all(tables)                      # [A, R]
 
+    # a → target one-hot [A(actor), A(target)]; the basis for every per-target
+    # reduction below. (Scatters/gathers lower to serialized loops on TPU, so
+    # all target-indexed ops are expressed as masked [A, A] reductions or
+    # one-hot sums instead — see `_sum_to_targets`.)
+    tgt_oh = (tgt_agent[:, None] == jnp.arange(A)[None, :]) & has_tgt_agent[:, None]
+
+    def from_targets(x):
+        """x[t] per-target → value at each actor's target (gather-free)."""
+        if x.ndim == 1:
+            return jnp.sum(jnp.where(tgt_oh, x[None, :], 0), axis=1)
+        return jnp.sum(jnp.where(tgt_oh[:, :, None], x[None, :, :], 0), axis=1)
+
+    def sum_to_targets(vals, mask):
+        """Σ over actors a with mask[a] of vals[a] into their target slot."""
+        if vals.ndim == 1:
+            return jnp.sum(jnp.where(tgt_oh & mask[:, None], vals[:, None], 0), axis=0)
+        return jnp.sum(
+            jnp.where((tgt_oh & mask[:, None])[:, :, None], vals[:, None, :], 0), axis=0
+        )
+
     def winner_per_target(cands):
         """cands [A] bool, target = tgt_agent; lowest rank per target wins."""
         score = jnp.where(cands, rank, A + 1)
-        # best score per target agent
-        best = jnp.full((A,), A + 1, jnp.int32).at[tgt_agent].min(
-            jnp.where(cands, score, A + 1)
+        same_tgt = (tgt_agent[:, None] == tgt_agent[None, :])
+        best = jnp.min(
+            jnp.where(same_tgt & cands[None, :], score[None, :], A + 1), axis=1
         )
-        return cands & (score == best[tgt_agent])
+        return cands & (score == best)
 
     # ---------- vibe-triggered attacks ----------
     if tables.has_attack:
-        wants_attack = movers & tables.attack_vibe_mask[vibe] & has_tgt_agent
-        t = tgt_agent
+        wants_attack = (
+            movers & _lut_bool(tables.attack_vibe_mask, vibe, tables.num_vibes)
+            & has_tgt_agent
+        )
         afford = jnp.all(state.agent_inv >= tables.attack_consumed, axis=1)
-        valid = wants_attack & (state.agent_frozen[t] <= 0) & afford
+        valid = wants_attack & (from_targets(state.agent_frozen) <= 0) & afford
         valid = winner_per_target(valid)
 
         weapon = state.agent_inv @ tables.attack_weapon_w               # [A]
-        t_vibe = vibe[t]
-        vibing = tables.vibe_matches_resource[t_vibe]                   # [A, R]
-        armor_amounts = state.agent_inv[t] + jnp.where(
-            vibing, tables.attack_vibe_bonus[t_vibe][:, None], 0
+        t_vibe = from_targets(vibe)
+        voh_t = t_vibe[:, None] == jnp.arange(tables.num_vibes)[None, :]  # [A, V]
+        vibing = jnp.sum(
+            jnp.where(voh_t[:, :, None], tables.vibe_matches_resource[None], False),
+            axis=1, dtype=bool,
+        )                                                                # [A, R]
+        vibe_bonus = jnp.sum(
+            jnp.where(voh_t, tables.attack_vibe_bonus[None, :], 0), axis=1
         )
+        inv_t = from_targets(state.agent_inv)                            # [A, R]
+        armor_amounts = inv_t + jnp.where(vibing, vibe_bonus[:, None], 0)
         armor = jnp.sum(armor_amounts * tables.attack_armor_w, axis=1)
         bonus = jnp.maximum(weapon - armor, 0)
 
         if tables._cfg.attack_defense_any:
             required = tables.attack_defense[None, :] + bonus[:, None]  # [A, R]
             can_defend = jnp.all(
-                ~tables.attack_defense_mask | (state.agent_inv[t] >= required), axis=1
+                ~tables.attack_defense_mask | (inv_t >= required), axis=1
             )
             blocked = valid & can_defend
             pay = jnp.where(tables.attack_defense_mask, -required, 0)
-            d_target = jnp.zeros((A, R), jnp.int32).at[t].add(
-                jnp.where(blocked[:, None], pay.astype(jnp.int32), 0)
-            )
+            d_target = sum_to_targets(pay.astype(jnp.int32), blocked)
             old_inv = state.agent_inv
             new_inv = jnp.clip(old_inv + d_target, 0, lims)
             state = state.replace(agent_inv=new_inv)
@@ -185,20 +249,23 @@ def step_env_batched(state, actions, tables, render=True):
         hit = valid & ~blocked
         if tables._cfg.attack_freeze > 0:
             state = state.replace(
-                agent_frozen=state.agent_frozen.at[t].add(
-                    jnp.where(hit, jnp.int32(tables._cfg.attack_freeze), 0)
+                agent_frozen=state.agent_frozen + sum_to_targets(
+                    jnp.full((A,), jnp.int32(tables._cfg.attack_freeze)), hit
                 )
             )
-        # actor/target deltas + loot + consume, as scatter-adds with final clamp
-        d = jnp.zeros((A, R), jnp.int32)
-        d = d + jnp.where(hit[:, None], tables.attack_actor_delta[None, :], 0)
-        d = d.at[t].add(jnp.where(hit[:, None], tables.attack_target_delta[None, :], 0))
+        # actor/target deltas + loot + consume, one-hot sums with final clamp
+        d = jnp.where(hit[:, None], tables.attack_actor_delta[None, :], 0)
+        d = d + sum_to_targets(
+            jnp.broadcast_to(tables.attack_target_delta[None, :], (A, R)), hit
+        )
+        inv_t_now = from_targets(state.agent_inv)
         for r_loot in tables._cfg.attack_loot_ids.tolist():
-            amount = state.agent_inv[t, r_loot]
+            amount = inv_t_now[:, r_loot]
             space = jnp.maximum(lims[:, r_loot] - state.agent_inv[:, r_loot], 0)
             stolen = jnp.where(hit, jnp.minimum(amount, space), 0)
-            d = d.at[jnp.arange(A), r_loot].add(stolen)
-            d = d.at[t, r_loot].add(-stolen)
+            r_oh = jnp.arange(R)[None, :] == r_loot
+            d = d + jnp.where(r_oh, stolen[:, None], 0)
+            d = d - jnp.where(r_oh, sum_to_targets(stolen, hit)[:, None], 0)
         d = d - jnp.where(valid[:, None], tables.attack_consumed[None, :], 0)
         old_inv = state.agent_inv
         state = state.replace(agent_inv=jnp.clip(old_inv + d, 0, lims))
@@ -210,22 +277,31 @@ def step_env_batched(state, actions, tables, render=True):
 
     # ---------- vibe-triggered transfers ----------
     if tables.has_transfer:
-        wants_tr = movers & ~handled_attack & tables.transfer_vibe_mask[vibe] & has_tgt_agent
-        t = tgt_agent
-        d_actor = tables.transfer_actor_delta[vibe]     # [A, R]
-        d_target = tables.transfer_target_delta[vibe]
+        wants_tr = (
+            movers & ~handled_attack
+            & _lut_bool(tables.transfer_vibe_mask, vibe, tables.num_vibes)
+            & has_tgt_agent
+        )
+        voh = vibe[:, None] == jnp.arange(tables.num_vibes)[None, :]     # [A, V]
+        d_actor = jnp.sum(
+            jnp.where(voh[:, :, None], tables.transfer_actor_delta[None], 0), axis=1
+        )                                                                # [A, R]
+        d_target = jnp.sum(
+            jnp.where(voh[:, :, None], tables.transfer_target_delta[None], 0), axis=1
+        )
         req_ok = jnp.all(state.agent_inv >= tables.transfer_required, axis=1)
-        valid = wants_tr & (state.agent_frozen[t] <= 0) & req_ok
+        valid = wants_tr & (from_targets(state.agent_frozen) <= 0) & req_ok
         valid = winner_per_target(valid)
         free_a = jnp.maximum(lims - state.agent_inv, 0)
-        free_t = free_a[t]
+        free_t = from_targets(free_a)
+        inv_t = from_targets(state.agent_inv)
         ok = valid
         ok = ok & jnp.all((d_actor >= 0) | (state.agent_inv >= -d_actor), axis=1)
-        ok = ok & jnp.all((d_target >= 0) | (state.agent_inv[t] >= -d_target), axis=1)
+        ok = ok & jnp.all((d_target >= 0) | (inv_t >= -d_target), axis=1)
         ok = ok & jnp.all((d_actor <= 0) | (d_actor <= free_a), axis=1)
         ok = ok & jnp.all((d_target <= 0) | (d_target <= free_t), axis=1)
         d = jnp.where(ok[:, None], d_actor, 0)
-        d = d.at[t].add(jnp.where(ok[:, None], d_target, 0))
+        d = d + sum_to_targets(d_target, ok)
         old_inv = state.agent_inv
         state = state.replace(agent_inv=jnp.clip(old_inv + d, 0, lims))
         state = _track_agent_inv(state, tables, old_inv)
@@ -239,18 +315,16 @@ def step_env_batched(state, actions, tables, render=True):
     if tables.has_swap:
         wants_swap = (
             movers & ~handled_attack & ~handled_tr & has_tgt_agent
-            & (state.agent_frozen[tgt_agent] > 0)
+            & (from_targets(state.agent_frozen) > 0)
         )
         swap_ok = winner_per_target(wants_swap)
-        t = tgt_agent
         # positions exchange (disjoint pairs: each winner targets a distinct
         # frozen agent; a frozen agent never moves itself this step)
-        new_r = state.agent_r
-        new_c = state.agent_c
-        new_r = jnp.where(swap_ok, state.agent_r[t], new_r)
-        new_c = jnp.where(swap_ok, state.agent_c[t], new_c)
-        new_r = new_r.at[t].set(jnp.where(swap_ok, r0, new_r[t]))
-        new_c = new_c.at[t].set(jnp.where(swap_ok, c0, new_c[t]))
+        swapped_in = jnp.any(tgt_oh & swap_ok[:, None], axis=0)   # [A] targets
+        new_r = jnp.where(swap_ok, from_targets(state.agent_r), state.agent_r)
+        new_c = jnp.where(swap_ok, from_targets(state.agent_c), state.agent_c)
+        new_r = jnp.where(swapped_in, sum_to_targets(r0, swap_ok), new_r)
+        new_c = jnp.where(swapped_in, sum_to_targets(c0, swap_ok), new_c)
         state = state.replace(agent_r=new_r, agent_c=new_c)
         success = success | swap_ok
         handled_station = handled_station | wants_swap
@@ -263,22 +337,25 @@ def step_env_batched(state, actions, tables, render=True):
     plain = movers & ~interacted & (skind == 0)
     unresolved = plain
     moved = jnp.zeros((A,), bool)
+    cell = rs * W + cs
+    same_cell = cell[:, None] == cell[None, :]          # [A, A] target contention
     for _round in range(4):
-        # occupancy from current positions
+        # occupancy from current positions (masked [A, A] reductions — the
+        # per-cell scatter-min this replaces serializes on TPU)
         occ = (r1[:, None] == state.agent_r[None, :]) & (c1[:, None] == state.agent_c[None, :])
         occ = occ & (jnp.arange(A)[:, None] != jnp.arange(A)[None, :])
         occ_any = jnp.any(occ, axis=1)
-        occ_idx = jnp.argmax(occ, axis=1)
         # fail if blocked by a later-rank agent or by one that already resolved
-        blocker_later = occ_any & (rank[occ_idx] > rank)
-        blocker_stuck = occ_any & ~unresolved[occ_idx] & ~moved[occ_idx]
+        blocker_later = jnp.any(occ & (rank[None, :] > rank[:, None]), axis=1)
+        blocker_stuck = jnp.any(occ & ~unresolved[None, :] & ~moved[None, :], axis=1)
         fail_now = unresolved & (blocker_later | blocker_stuck)
         unresolved = unresolved & ~fail_now
         # contention: lowest rank per target cell among unresolved movers
-        cell = rs * W + cs
         score = jnp.where(unresolved, rank, A + 1)
-        best = jnp.full((H * W,), A + 1, jnp.int32).at[cell].min(score)
-        wins = unresolved & (score == best[cell]) & ~occ_any
+        best = jnp.min(
+            jnp.where(same_cell & unresolved[None, :], score[None, :], A + 1), axis=1
+        )
+        wins = unresolved & (score == best) & ~occ_any
         state = state.replace(
             agent_r=jnp.where(wins, r1, state.agent_r),
             agent_c=jnp.where(wins, c1, state.agent_c),
@@ -287,32 +364,31 @@ def step_env_batched(state, actions, tables, render=True):
         unresolved = unresolved & ~wins
     success = success | moved
 
-    # ---------- station bumps: winner per station ----------
+    # ---------- station bumps: winner per station ([A, A] same-station min) ----------
+    def station_winner(bump):
+        score = jnp.where(bump, rank, A + 1)
+        same_st = sidx[:, None] == sidx[None, :]
+        best = jnp.min(
+            jnp.where(same_st & bump[None, :], score[None, :], A + 1), axis=1
+        )
+        return bump & (score == best)
+
     if tables.has_assemblers:
         bump_asm = movers & ~interacted & (skind == KIND_ASSEMBLER)
-        asm_of_agent = jnp.where(bump_asm, sidx, -1)
-        score = jnp.where(bump_asm, rank, A + 1)
-        NA = tables.n_assembler_slots
-        best = jnp.full((NA,), A + 1, jnp.int32).at[jnp.clip(sidx, 0, NA - 1)].min(
-            jnp.where(bump_asm, score, A + 1)
-        )
-        is_winner = bump_asm & (score == best[jnp.clip(sidx, 0, NA - 1)])
+        is_winner = station_winner(bump_asm)
         state, asm_success = _assembler_phase(state, tables, is_winner, sidx, lims)
         success = success | asm_success
     if tables.has_chests:
         bump_chest = movers & ~interacted & (skind == KIND_CHEST)
-        NC = tables.n_chest_slots
-        score = jnp.where(bump_chest, rank, A + 1)
-        bestc = jnp.full((NC,), A + 1, jnp.int32).at[jnp.clip(sidx, 0, NC - 1)].min(
-            jnp.where(bump_chest, score, A + 1)
-        )
-        is_winner_c = bump_chest & (score == bestc[jnp.clip(sidx, 0, NC - 1)])
+        is_winner_c = station_winner(bump_chest)
         state, chest_success = _chest_phase(state, tables, is_winner_c, sidx, lims)
         success = success | chest_success
 
     # ---------- action resource consumption + motion stats ----------
     if bool((tables._cfg.action_consumed != 0).any()):
-        consumed = jnp.where(success[:, None], tables.action_consumed[act], 0)
+        consumed = jnp.where(
+            success[:, None], _lut(tables.action_consumed, act, NACT), 0
+        )
         old_inv = state.agent_inv
         state = state.replace(
             agent_inv=jnp.clip(old_inv - consumed, 0, lims)
@@ -337,8 +413,15 @@ def step_env_batched(state, actions, tables, render=True):
     if tables.clipper_enabled and tables.clip_period > 0:
         state = clipper_step(state, tables, k_clip)
 
-    grid = jnp.zeros_like(state.agent_grid)
-    grid = grid.at[state.agent_r, state.agent_c].set(jnp.arange(A, dtype=grid.dtype) + 1)
+    # rebuild the agent grid as a one-hot matmul (agents occupy distinct
+    # cells, so the position outer-products never collide)
+    roh = (state.agent_r[:, None] == jnp.arange(H)[None, :]).astype(jnp.float32)
+    coh = (state.agent_c[:, None] == jnp.arange(W)[None, :]).astype(jnp.float32)
+    ids = (jnp.arange(A) + 1).astype(jnp.float32)
+    grid = jax.lax.dot_general(
+        roh * ids[:, None], coh, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    ).astype(state.agent_grid.dtype)
     state = state.replace(agent_grid=grid)
 
     if render:
@@ -395,59 +478,109 @@ def _local_shared_consume(rows, lims, valid, delta, passes: int = 3):
     return applied + final
 
 
+def _scatter_rows(idx, valid, deltas, A, R):
+    """Σ over rows i with valid[i] of deltas[i] into agent slot idx[i].
+
+    idx [L] or [NA, 8], deltas [..., R] → [A, R]; one-hot matmul (f32 HIGHEST
+    is exact for the integer magnitudes here), replacing a serialized TPU
+    scatter-add.
+    """
+    idx_f = idx.reshape(-1)
+    val_f = valid.reshape(-1)
+    d_f = deltas.reshape(-1, R)
+    oh = ((idx_f[:, None] == jnp.arange(A)[None, :]) & val_f[:, None])
+    return jax.lax.dot_general(
+        oh.astype(jnp.float32).T, d_f.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+
+def _gather_rows(idx, valid, rows, A):
+    """rows[idx] with invalid slots zeroed — one-hot matmul row gather.
+
+    idx [...], rows [A, R] → [..., R].
+    """
+    R = rows.shape[-1]
+    idx_f = idx.reshape(-1)
+    oh = (idx_f[:, None] == jnp.arange(A)[None, :]) & valid.reshape(-1)[:, None]
+    out = jax.lax.dot_general(
+        oh.astype(jnp.float32), rows.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(rows.dtype)
+    return out.reshape(idx.shape + (R,))
+
+
 def _assembler_phase(state, tables, is_winner, sidx, lims):
-    """All claimed assemblers fire simultaneously (vectorized over stations)."""
+    """All claimed assemblers fire simultaneously (vectorized over stations).
+
+    Fully gather/scatter-free: the claim, neighbor resolution, protocol
+    lookup, inventory reads, and delta write-back are one-hot reductions and
+    matmuls over the full station axis (TPU scatters serialize per index, so
+    the previous compact-then-scatter formulation was the phase's bottleneck).
+    """
     A = tables.num_agents
     R = tables.num_resources
     NA = tables.n_assembler_slots
+    NP = tables.n_protocols
+    NUP = tables.n_unclip_protocols
+    V = tables.num_vibes
 
-    # claimant agent per assembler (at most one winner per station)
-    claim = jnp.full((NA,), -1, jnp.int32)
-    claim = claim.at[jnp.clip(sidx, 0, NA - 1)].max(
-        jnp.where(is_winner, jnp.arange(A), -1)
-    )
+    # claimant agent per assembler via one-hot max (≤1 winner per station)
+    soh = (sidx[:, None] == jnp.arange(NA)[None, :]) & is_winner[:, None]  # [A, NA]
+    claim = jnp.max(jnp.where(soh, jnp.arange(A)[:, None], -1), axis=0)    # [NA]
     claimed = claim >= 0
 
-    # Compact to the ≤A stations that were actually claimed this step — the
-    # station machinery's [stations, 8, R] intermediates are the phase's HBM
-    # cost, so only pay for live ones.
-    K = min(A, NA)
-    st_order = jnp.argsort(jnp.where(claimed, 0, 1), stable=True)[:K]  # claimed first
+    # per-station type properties (one-hot LUT over the NT types)
+    NT = int(tables.type_max_uses.shape[0])
+    max_uses = _lut(tables.type_max_uses, state.asm_type, NT)
+    allow_partial = _lut_bool(tables.type_allow_partial, state.asm_type, NT)
+
+    # actor position/fields per station (one-hot over agents)
+    actor_r = jnp.sum(jnp.where(soh, state.agent_r[:, None], 0), axis=0)
+    actor_c = jnp.sum(jnp.where(soh, state.agent_c[:, None], 0), axis=0)
 
     offs = jnp.array(_NEIGHBOR_OFFS, jnp.int32)
 
-    def per_station(i):
-        actor = jnp.clip(claim[i], 0, A - 1)
-        do = claimed[i] & state.asm_valid[i]
-        t = state.asm_type[i]
-        ar_, ac_ = state.asm_r[i], state.asm_c[i]
+    def per_station(claim_i, claimed_i, valid_i, t_i, ar_, ac_, uses_i,
+                    cd_end_i, cd_dur_i, clipped, uproto_i, max_uses_i,
+                    allow_partial_i, actor_r_i, actor_c_i):
+        do = claimed_i & valid_i
 
-        max_uses = tables.type_max_uses[t]
-        ok = do & ((max_uses == 0) | (state.asm_uses[i] < max_uses))
-        remaining = jnp.maximum(state.asm_cooldown_end[i] - state.step, 0)
-        allow_partial = tables.type_allow_partial[t]
-        ok = ok & ((remaining == 0) | allow_partial)
+        ok = do & ((max_uses_i == 0) | (uses_i < max_uses_i))
+        remaining = jnp.maximum(cd_end_i - state.step, 0)
+        ok = ok & ((remaining == 0) | allow_partial_i)
 
         rr = ar_ + offs[:, 0]
         cc = ac_ + offs[:, 1]
         inb = (rr >= 0) & (rr < tables.height) & (cc >= 0) & (cc < tables.width)
         match = (state.agent_r[None, :] == rr[:, None]) & (state.agent_c[None, :] == cc[:, None])
         nb_is_agent = inb & jnp.any(match, axis=1)
-        nb_idx = jnp.argmax(match, axis=1).astype(jnp.int32)
-        vibes = jnp.where(nb_is_agent, state.agent_vibe[nb_idx], 0)
+        # ≤1 match per cell → masked sums replace argmax+gather
+        nb_idx = jnp.sum(jnp.where(match, jnp.arange(A)[None, :], 0), axis=1)
+        vibes = jnp.sum(jnp.where(match, state.agent_vibe[None, :], 0), axis=1)
+        vibes = jnp.where(nb_is_agent, vibes, 0)
         key_vec = jnp.sort(vibes)
         n_agents = jnp.sum(nb_is_agent.astype(jnp.int32))
 
-        clipped = state.asm_clipped[i]
-        p_norm = select_protocol(tables, t, key_vec, n_agents)
-        p_un = select_unclip_protocol(tables, state.asm_unclip_proto[i], key_vec, n_agents)
+        p_norm = select_protocol(tables, t_i, key_vec, n_agents)
+        p_un = select_unclip_protocol(tables, uproto_i, key_vec, n_agents)
         p_idx = jnp.where(clipped, p_un, p_norm)
         ok = ok & (p_idx >= 0)
-        pn = jnp.clip(p_idx, 0, tables.n_protocols - 1)
-        pu = jnp.clip(p_idx, 0, tables.n_unclip_protocols - 1)
+        pn_oh = jnp.clip(p_idx, 0, NP - 1) == jnp.arange(NP)
+        pu_oh = jnp.clip(p_idx, 0, NUP - 1) == jnp.arange(NUP)
 
         def gth(norm, un):
-            return jnp.where(clipped, un[pu], norm[pn])
+            if norm.ndim == 1:
+                n = jnp.sum(jnp.where(pn_oh, norm, 0))
+                u = jnp.sum(jnp.where(pu_oh, un, 0))
+            else:
+                n = jnp.sum(jnp.where(pn_oh[:, None], norm, 0), axis=0)
+                u = jnp.sum(jnp.where(pu_oh[:, None], un, 0), axis=0)
+            return jnp.where(clipped, u, n)
 
         inputs = gth(tables.proto_in, tables.uproto_in)
         outputs = gth(tables.proto_out, tables.uproto_out)
@@ -457,46 +590,54 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         orig_has_output = jnp.any(outputs > 0)
 
         if bool(tables._cfg.type_allow_partial.any()):
-            duration = jnp.maximum(state.asm_cooldown_duration[i], 1)
-            elapsed = state.asm_cooldown_duration[i] - remaining
-            do_scale = (remaining > 0) & allow_partial
+            duration = jnp.maximum(cd_dur_i, 1)
+            elapsed = cd_dur_i - remaining
+            do_scale = (remaining > 0) & allow_partial_i
             inputs = jnp.where(do_scale, (inputs * elapsed + duration - 1) // duration, inputs)
             outputs = jnp.where(do_scale, (outputs * elapsed) // duration, outputs)
             wasteful = do_scale & ~jnp.any(outputs > 0) & orig_has_output & ~clipped
             ok = ok & ~wasteful
 
-        # rotated neighbor order from the actor's slot
+        # rotated neighbor order from the actor's slot; ranks computed by
+        # counting (no argsort/gather): agents ordered by rotation index,
+        # non-agents after, both stable in slot order
         inb_i32 = inb.astype(jnp.int32)
         rank_inb = jnp.cumsum(inb_i32) - 1
         n_inb = jnp.sum(inb_i32)
-        is_actor_slot = (offs[:, 0] == (state.agent_r[actor] - ar_)) & (
-            offs[:, 1] == (state.agent_c[actor] - ac_)
-        )
+        is_actor_slot = (offs[:, 0] == (actor_r_i - ar_)) & (offs[:, 1] == (actor_c_i - ac_))
         start_rank = jnp.sum(jnp.where(is_actor_slot, rank_inb, 0))
         rot = jnp.mod(rank_inb - start_rank, jnp.maximum(n_inb, 1))
         order_key = jnp.where(nb_is_agent, rot, 1000 + jnp.arange(8))
-        perm8 = jnp.argsort(order_key)
-        ref_idx = nb_idx[perm8]
-        ref_valid = nb_is_agent[perm8]
+        # rank of slot j = #slots with smaller key + #earlier slots with equal key
+        lt = order_key[None, :] < order_key[:, None]
+        eq_before = (order_key[None, :] == order_key[:, None]) & (
+            jnp.arange(8)[None, :] < jnp.arange(8)[:, None]
+        )
+        slot_rank = jnp.sum((lt | eq_before).astype(jnp.int32), axis=1)   # [8]
+        # position→slot one-hot: poh[p, j] = (slot_rank[j] == p)
+        poh = slot_rank[None, :] == jnp.arange(8)[:, None]                # [8, 8]
+        ref_idx = jnp.sum(jnp.where(poh, nb_idx[None, :], 0), axis=1)
+        ref_valid = jnp.any(poh & nb_is_agent[None, :], axis=1)
+        v8 = jnp.sum(jnp.where(poh, vibes[None, :], 0), axis=1)
 
-        rows = state.agent_inv[jnp.clip(ref_idx, 0, A - 1)]           # [8, R]
-        lim_rows = lims[jnp.clip(ref_idx, 0, A - 1)]
+        rows = _gather_rows(ref_idx, ref_valid, state.agent_inv, A)       # [8, R]
+        lim_rows = _gather_rows(ref_idx, ref_valid, lims, A)
         totals = jnp.sum(jnp.where(ref_valid[:, None], rows, 0), axis=0)
         ok = ok & jnp.all((inputs == 0) | (totals >= inputs))
 
         # output selection: occurrence-index trick replaces the sequential loop
-        v8 = jnp.where(ref_valid, state.agent_vibe[jnp.clip(ref_idx, 0, A - 1)], 0)
-        v8c = jnp.clip(v8, 0, tables.num_vibes - 1)
-        same_before = jnp.cumsum(
-            jax.nn.one_hot(v8c, tables.num_vibes, dtype=jnp.int32), axis=0
-        ) - jax.nn.one_hot(v8c, tables.num_vibes, dtype=jnp.int32)
-        occ_idx = jnp.take_along_axis(same_before, v8c[:, None], axis=1)[:, 0]
-        sel = ref_valid & (v8 != 0) & (occ_idx < vibe_counts[v8c])
+        v8c = jnp.clip(v8, 0, V - 1)
+        voh8 = v8c[:, None] == jnp.arange(V)[None, :]                     # [8, V]
+        same_before = jnp.cumsum(voh8.astype(jnp.int32), axis=0) - voh8.astype(jnp.int32)
+        occ_idx = jnp.sum(jnp.where(voh8, same_before, 0), axis=1)
+        count_v = jnp.sum(jnp.where(voh8, vibe_counts[None, :], 0), axis=1)
+        sel = ref_valid & (v8 != 0) & (occ_idx < count_v)
         use_multi = (nvibes > 1) & jnp.any(sel)
         out_valid = jnp.where(use_multi, sel, jnp.arange(8) == 0)
+        actor = jnp.clip(claim_i, 0, A - 1)
         out_idx = jnp.where(use_multi, ref_idx, jnp.full((8,), actor))
-        out_rows = state.agent_inv[jnp.clip(out_idx, 0, A - 1)]
-        out_lims = lims[jnp.clip(out_idx, 0, A - 1)]
+        out_rows = _gather_rows(out_idx, out_valid, state.agent_inv, A)
+        out_lims = _gather_rows(out_idx, out_valid, lims, A)
         total_free = jnp.sum(
             jnp.where(out_valid[:, None], jnp.maximum(out_lims - out_rows, 0), 0), axis=0
         )
@@ -510,29 +651,31 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         out_deltas = _local_shared_consume(
             out_rows, out_lims, out_valid, jnp.where(ok, outputs, 0)
         )
-        return ok, ref_idx, in_deltas, out_idx, out_deltas, cooldown, clipped
+        return ok, ref_idx, ref_valid, in_deltas, out_idx, out_valid, out_deltas, cooldown
 
-    ok_k, in_idx, in_d, out_idx, out_d, cooldown_k, clipped_k = jax.vmap(per_station)(
-        st_order
+    (ok_v, in_idx, in_val, in_d, out_idx, out_val, out_d, cooldown_v) = jax.vmap(
+        per_station
+    )(
+        claim, claimed, state.asm_valid, state.asm_type, state.asm_r, state.asm_c,
+        state.asm_uses, state.asm_cooldown_end, state.asm_cooldown_duration,
+        state.asm_clipped, state.asm_unclip_proto, max_uses, allow_partial,
+        actor_r, actor_c,
     )
 
-    # scatter all deltas (clamped at 0/limit afterwards — see module docstring)
-    d = jnp.zeros((A, R), jnp.int32)
-    d = d.at[jnp.clip(in_idx, 0, A - 1).reshape(-1)].add(in_d.reshape(-1, R))
-    d = d.at[jnp.clip(out_idx, 0, A - 1).reshape(-1)].add(out_d.reshape(-1, R))
+    # write back all deltas via one one-hot matmul (clamped at 0/limit
+    # afterwards — see module docstring)
+    d = _scatter_rows(in_idx, in_val, in_d, A, R) + _scatter_rows(
+        out_idx, out_val, out_d, A, R
+    )
     old_inv = state.agent_inv
     state = state.replace(agent_inv=jnp.clip(old_inv + d, 0, lims))
     state = _track_agent_inv(state, tables, old_inv)
     if tables.track_chest_stats:
         # assembler.<r>.created game stat (parity: assembler onUse output
         # distribution accounting, assembler.py:197/:235 sequential path).
-        ok_b = ok_k[:, None, None]
-        created = jnp.sum(jnp.maximum(jnp.where(ok_b, out_d, 0), 0), axis=(0, 1))
+        created = jnp.sum(jnp.maximum(out_d, 0), axis=(0, 1))
         state = state.replace(game_asm_created=state.game_asm_created + created)
 
-    # expand compacted results back to the station axis
-    ok_v = jnp.zeros((NA,), bool).at[st_order].set(ok_k)
-    cooldown_v = jnp.zeros((NA,), jnp.int32).at[st_order].set(cooldown_k)
     unclip_now = ok_v & state.asm_clipped
     state = state.replace(
         asm_cooldown_duration=jnp.where(ok_v, cooldown_v, state.asm_cooldown_duration),
@@ -541,50 +684,67 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         asm_clipped=jnp.where(unclip_now, False, state.asm_clipped),
         asm_unclip_proto=jnp.where(unclip_now, -1, state.asm_unclip_proto),
     )
-    # per-agent success: their claimed station fired
-    agent_success = is_winner & ok_v[jnp.clip(sidx, 0, NA - 1)]
+    # per-agent success: their claimed station fired (one-hot over stations)
+    agent_success = is_winner & jnp.any(soh & ok_v[None, :], axis=1)
     return state, agent_success
 
 
 def _chest_phase(state, tables, is_winner, sidx, lims):
-    """Claimed chests process their winner's vibe transfer simultaneously."""
+    """Claimed chests process their winner's vibe transfer simultaneously.
+
+    Gather/scatter-free: claim + actor fields via one-hot reductions, delta
+    write-back via one-hot matmul (see _assembler_phase).
+    """
     A = tables.num_agents
     R = tables.num_resources
     NC = tables.n_chest_slots
-    claim = jnp.full((NC,), -1, jnp.int32).at[jnp.clip(sidx, 0, NC - 1)].max(
-        jnp.where(is_winner, jnp.arange(A), -1)
-    )
+    V = tables.num_vibes
+    NTC = int(tables.chest_type_inv_class.shape[0])
+
+    coh = (sidx[:, None] == jnp.arange(NC)[None, :]) & is_winner[:, None]  # [A, NC]
+    claim = jnp.max(jnp.where(coh, jnp.arange(A)[:, None], -1), axis=0)    # [NC]
     claimed = claim >= 0
 
-    def per_chest(i):
-        actor = jnp.clip(claim[i], 0, A - 1)
-        do = claimed[i] & state.chest_valid[i]
-        t = state.chest_type[i]
-        v = jnp.clip(state.agent_vibe[actor], 0, tables.num_vibes - 1)
-        has = tables.chest_vibe_has[t, v]
-        deltas = tables.chest_vibe_delta[t, v]
-        ok = do & has
-        c_inv = state.chest_inv[i]
-        res_group, group_base, _ = tables.inv_tables
-        cls_c = tables.chest_type_inv_class[t]
-        c_lim = jnp.clip(group_base[cls_c][res_group[cls_c]], 0, 65535)
-        a_inv = state.agent_inv[actor]
-        a_lim = lims[actor]
-        give_dep = jnp.where((deltas > 0) & ok, jnp.minimum(a_inv, deltas), 0)
-        got_dep = jnp.minimum(give_dep, jnp.maximum(c_lim - c_inv, 0))
-        give_w = jnp.where((deltas < 0) & ok, jnp.minimum(c_inv, -deltas), 0)
-        got_w = jnp.minimum(give_w, jnp.maximum(a_lim - a_inv, 0))
-        agent_d = got_w - give_dep
-        chest_d = got_dep - give_w
-        any_tr = jnp.any(got_dep > 0) | jnp.any(got_w > 0)
-        return ok & any_tr, actor, agent_d, chest_d, got_dep, give_w
+    # per-chest actor fields (one-hot over agents; zero when unclaimed)
+    a_vibe = jnp.sum(jnp.where(coh, state.agent_vibe[:, None], 0), axis=0)
+    a_inv = _gather_rows(jnp.clip(claim, 0, A - 1), claimed, state.agent_inv, A)
+    a_lim = _gather_rows(jnp.clip(claim, 0, A - 1), claimed, lims, A)
 
-    ok_v, actor_v, agent_d, chest_d, got_dep, give_w = jax.vmap(per_chest)(
-        jnp.arange(NC)
-    )
+    # per-chest-type tables (one-hot over chest types, then vibes)
+    toh = state.chest_type[:, None] == jnp.arange(NTC)[None, :]            # [NC, NTC]
+    voh = jnp.clip(a_vibe, 0, V - 1)[:, None] == jnp.arange(V)[None, :]    # [NC, V]
+    tv = toh[:, :, None] & voh[:, None, :]                                  # [NC, NTC, V]
+    has = jnp.any(tv & tables.chest_vibe_has[None], axis=(1, 2))
+    deltas = jnp.sum(
+        jnp.where(tv[:, :, :, None], tables.chest_vibe_delta[None], 0), axis=(1, 2)
+    )                                                                       # [NC, R]
+    res_group, group_base, _ = tables.inv_tables
+    cls_c = _lut(tables.chest_type_inv_class, state.chest_type, NTC)        # [NC]
+    # (class count is tiny; one-hot the class pick too)
+    clsoh = cls_c[:, None] == jnp.arange(group_base.shape[0])[None, :]      # [NC, C]
+    base_c = jnp.sum(jnp.where(clsoh[:, :, None], group_base[None], 0), axis=1)  # [NC, R]
+    rg_c = jnp.sum(jnp.where(clsoh[:, :, None], res_group[None], 0), axis=1)     # [NC, R]
+    rgoh = rg_c[:, :, None] == jnp.arange(R)[None, None, :]                 # [NC, R, R]
+    c_lim = jnp.clip(jnp.sum(jnp.where(rgoh, base_c[:, None, :], 0), axis=2), 0, 65535)
+
+    do = claimed & state.chest_valid
+    ok = do & has
+    c_inv = state.chest_inv
+    give_dep = jnp.where((deltas > 0) & ok[:, None], jnp.minimum(a_inv, deltas), 0)
+    got_dep = jnp.minimum(give_dep, jnp.maximum(c_lim - c_inv, 0))
+    give_w = jnp.where((deltas < 0) & ok[:, None], jnp.minimum(c_inv, -deltas), 0)
+    got_w = jnp.minimum(give_w, jnp.maximum(a_lim - a_inv, 0))
+    agent_d = got_w - give_dep
+    chest_d = got_dep - give_w
+    any_tr = jnp.any(got_dep > 0, axis=1) | jnp.any(got_w > 0, axis=1)
+    ok_v = ok & any_tr
+
     old_inv = state.agent_inv
     state = state.replace(
-        agent_inv=jnp.clip(old_inv.at[actor_v].add(agent_d), 0, lims),
+        agent_inv=jnp.clip(
+            old_inv + _scatter_rows(jnp.clip(claim, 0, A - 1), claimed, agent_d, A, R),
+            0, lims,
+        ),
         chest_inv=jnp.clip(state.chest_inv + chest_d, 0, 65535),
     )
     state = _track_agent_inv(state, tables, old_inv)
@@ -594,13 +754,13 @@ def _chest_phase(state, tables, is_winner, sidx, lims):
         # offered amount on withdraw (destroy-untransferred), so withdrawn
         # counts give_w, while deposited counts only what the chest absorbed.
         state = state.replace(
-            agent_chest_deposited=state.agent_chest_deposited.at[actor_v].add(
-                jnp.maximum(got_dep, 0)
+            agent_chest_deposited=state.agent_chest_deposited + _scatter_rows(
+                jnp.clip(claim, 0, A - 1), claimed, jnp.maximum(got_dep, 0), A, R
             ),
             game_chest_deposited=state.game_chest_deposited
             + jnp.sum(jnp.maximum(got_dep, 0), axis=0),
             game_chest_withdrawn=state.game_chest_withdrawn
             + jnp.sum(jnp.maximum(give_w, 0), axis=0),
         )
-    agent_success = is_winner & ok_v[jnp.clip(sidx, 0, NC - 1)]
+    agent_success = is_winner & jnp.any(coh & ok_v[None, :], axis=1)
     return state, agent_success
