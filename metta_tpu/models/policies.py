@@ -197,7 +197,7 @@ class MemoryFreePolicy(nn.Module):
         return logits, value, h_value, state
 
 
-# --- registry (agent/policy registry parity) ---
+# --- registry (agent/policies/ parity: one entry per reference arch) ---
 
 POLICY_REGISTRY = {
     "vit": "metta_tpu.models.vit.ViTConfig",
@@ -206,10 +206,54 @@ POLICY_REGISTRY = {
     "memory_free": "metta_tpu.models.policies.MemoryFreeConfig",
 }
 
+# Parameterized variants of ViTConfig, mirroring the reference architecture
+# modules (``agent/src/metta/agent/policies/``): each is the ViT observation
+# pipeline with a different core/head configuration.
+_VIT_VARIANTS = {
+    # reference default ViT core: 2 Column layers of (AGaLiTe, Axon, sLSTM)
+    # experts (policies/vit.py:44 "Ag,A,S")
+    "vit_cortex": dict(core="Ag,A,S", name="vit_cortex"),
+    # policies/trxl.py: Transformer-XL core
+    "trxl": dict(core="X", name="trxl"),
+    # policies/agalite.py
+    "agalite": dict(core="Ag", name="agalite"),
+    # policies/mamba_sliding.py: selective-SSM core
+    "mamba": dict(core="Mb", name="mamba"),
+    # policies/drama_policy.py: mamba world-model policy — mamba core with the
+    # future-latent prediction head standing in for the DRAMA world model
+    "drama": dict(core="Mb", predict_future=True, name="drama"),
+    # policies/hrm.py: hierarchical reasoning core at its reference dims
+    "hrm": dict(core="Hr", latent_dim=256, actor_hidden=512,
+                critic_hidden=1024, max_tokens=48, core_num_latents=16,
+                name="hrm"),
+    # policies/vit_quantile.py: quantile critic head
+    "vit_quantile": dict(num_quantiles=16, name="vit_quantile"),
+    # policies/vit_grpo.py: ViT tuned for the GRPO loss (same net)
+    "vit_grpo": dict(name="vit_grpo"),
+    # policies/vit_size_2.py: double-width variant
+    "vit_size_2": dict(latent_dim=256, actor_hidden=512, critic_hidden=1024,
+                       name="vit_size_2"),
+}
+
+# policies/puffer.py: pufferlib-compatible CNN(128ch) + LSTM(512)
+_FAST_VARIANTS = {
+    "puffer": dict(cnn_channels=128, hidden=512, name="puffer"),
+}
+
 
 def make_policy_config(name: str, **kwargs):
     import importlib
 
+    if name in _VIT_VARIANTS:
+        from metta_tpu.models.vit import ViTConfig
+
+        return ViTConfig(**{**_VIT_VARIANTS[name], **kwargs})
+    if name in _FAST_VARIANTS:
+        return FastConfig(**{**_FAST_VARIANTS[name], **kwargs})
     path = POLICY_REGISTRY[name]
     mod, _, cls = path.rpartition(".")
     return getattr(importlib.import_module(mod), cls)(**kwargs)
+
+
+def policy_names():
+    return sorted(list(POLICY_REGISTRY) + list(_VIT_VARIANTS) + list(_FAST_VARIANTS))

@@ -3,9 +3,18 @@
 Parity: reference ``agent/src/metta/agent/policies/vit.py:17-121``
 (``ViTDefaultConfig``): token shim → Fourier attr embedding → Perceiver latent
 pooling → recurrent core → actor MLP(256) + critic MLP(512) + GTD aux head.
-The reference's cortex Axon stack is replaced by a scan LSTM core (TPU-native;
-``pass_state_during_training=False`` semantics: zero initial state per BPTT
-segment in the learner, persistent state during rollout).
+
+The core is selectable (``core`` field):
+- ``"lstm"`` — a scan LSTM (fastest on TPU; round-1 default),
+- any cortex pattern string (e.g. the reference default ``"Ag,A,S"``) — a
+  CortexStack of Column layers built from the cell library
+  (``metta_tpu/models/cells.py``), matching the reference's
+  ``build_cortex_auto_config(d_hidden, num_layers=2, pattern="Ag,A,S")``
+  (``policies/vit.py:44-45,86-91``).
+
+Recurrent-state contract either way: persistent during rollout, zero per BPTT
+segment in the learner (``pass_state_during_training=False``,
+``policies/vit.py:38``).
 """
 
 from __future__ import annotations
@@ -17,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from metta_tpu.models.cells import CortexStack, StackSpec
 from metta_tpu.models.components import LSTMCore, MLP, PerceiverLatent, TokenEmbed
 
 
@@ -32,11 +42,27 @@ class ViTConfig:
     core_num_latents: int = 12
     token_embed_dim: int = 8
     fourier_freqs: int = 3
+    # "lstm", or a cortex pattern ("Ag,A,S", "AXMS", "X", ...). The reference
+    # default core is the "Ag,A,S" Column stack; "lstm" is the TPU fast path.
+    core: str = "lstm"
+    core_layers: int = 2
+    # >0: the critic head outputs this many quantiles (value = their mean);
+    # required by the quantile_ppo_critic loss (reference quantile archs).
+    num_quantiles: int = 0
+    # add a future-latent prediction head from the core (reference
+    # ``future_latent_pred`` component, used by the future_latent_ema loss).
+    predict_future: bool = False
     name: str = "vit"
 
     def make(self, n_actions: int, feature_norms: dict) -> "ViTPolicy":
         return ViTPolicy(cfg=self, n_actions=n_actions,
                          feature_norms=tuple(sorted(feature_norms.items())))
+
+    def stack_spec(self) -> Optional[StackSpec]:
+        if self.core == "lstm":
+            return None
+        return StackSpec(d_hidden=self.latent_dim, num_layers=self.core_layers,
+                         pattern=self.core)
 
 
 class ViTPolicy(nn.Module):
@@ -54,6 +80,9 @@ class ViTPolicy(nn.Module):
     feature_norms: tuple
 
     def initial_state(self, batch: int):
+        spec = self.cfg.stack_spec()
+        if spec is not None:
+            return spec.initial_state(batch)
         return (
             jnp.zeros((batch, self.cfg.latent_dim), jnp.float32),
             jnp.zeros((batch, self.cfg.latent_dim), jnp.float32),
@@ -75,12 +104,30 @@ class ViTPolicy(nn.Module):
             num_heads=c.core_num_heads,
             name="perceiver",
         )(tokens, mask)
-        core_out, new_state = LSTMCore(hidden=c.latent_dim, name="core")(latent, state)
+        spec = c.stack_spec()
+        if spec is not None:
+            core_out, new_state = CortexStack(spec=spec, name="core")(
+                latent.astype(jnp.float32), state)
+        else:
+            core_out, new_state = LSTMCore(hidden=c.latent_dim, name="core")(latent, state)
         x = core_out.astype(jnp.bfloat16)
+        # Intermediates for auxiliary losses (reference TensorDict keys
+        # obs_latent_attn / core / future_latent_pred); sow is a no-op unless
+        # apply() requests mutable=["intermediates"].
+        self.sow("intermediates", "latent_out", latent.astype(jnp.float32))
+        self.sow("intermediates", "core_out", core_out.astype(jnp.float32))
+        if c.predict_future:
+            fut = MLP(hidden=(c.latent_dim,), out=c.latent_dim, name="future_head")(x)
+            self.sow("intermediates", "future_latent_pred", fut.astype(jnp.float32))
         actor_h = MLP(hidden=(c.actor_hidden,), out=c.actor_hidden, name="actor_mlp")(x)
         logits = nn.Dense(self.n_actions, dtype=jnp.float32, name="actor_head")(
             nn.relu(actor_h).astype(jnp.bfloat16)
         )
-        value = MLP(hidden=(c.critic_hidden,), out=1, name="critic")(x)[..., 0]
+        if c.num_quantiles > 0:
+            value_q = MLP(hidden=(c.critic_hidden,), out=c.num_quantiles, name="critic")(x)
+            self.sow("intermediates", "value_q", value_q)
+            value = jnp.mean(value_q, axis=-1)
+        else:
+            value = MLP(hidden=(c.critic_hidden,), out=1, name="critic")(x)[..., 0]
         h_value = MLP(hidden=(c.critic_hidden,), out=1, name="gtd_aux")(x)[..., 0]
         return logits, value, h_value, new_state

@@ -69,6 +69,9 @@ def _state_spec() -> TrainState:
         prev_done=P("data"),
         r_bar=P(),
         update_idx=P(),
+        aux_params=P(),
+        aux_opt_state=P(),
+        loss_state=P(),
     )
 
 

@@ -12,17 +12,33 @@ from __future__ import annotations
 import math
 from typing import Literal, Optional
 
-from pydantic import Field
+from pydantic import Field, field_validator
 
 from metta_tpu.config.base import Config
 
 # Runtime-scheduled coefficients, in a fixed order (indices into the hp array).
+# One entry per loss family (loss/losses.py:33-120) so any loss can be
+# scheduled or run-gated without recompiling the jitted update.
 HP_FIELDS = [
     "ppo_clip_coef",
     "ppo_ent_coef",
     "vf_coef",
     "kickstarter_coef",
     "action_supervised_coef",
+    "sliced_kickstarter_coef",
+    "logit_kickstarter_coef",
+    "scripted_cloner_coef",
+    "sl_kickstarter_coef",
+    "eer_kickstarter_coef",
+    "eer_cloner_coef",
+    "ema_coef",
+    "cmpo_coef",
+    "grpo_coef",
+    "quantile_vf_coef",
+    "contrastive_coef",
+    "stable_latent_coef",
+    "future_latent_coef",
+    "vit_recon_coef",
 ]
 HP_INDEX = {name: i for i, name in enumerate(HP_FIELDS)}
 
@@ -30,11 +46,15 @@ HP_INDEX = {name: i for i, name in enumerate(HP_FIELDS)}
 class ScheduleRule(Config):
     """Schedule one coefficient over an update range."""
 
-    param: Literal[
-        "ppo_clip_coef", "ppo_ent_coef", "vf_coef",
-        "kickstarter_coef", "action_supervised_coef",
-    ]
+    param: str
     schedule: Literal["linear", "cosine", "exponential", "constant"] = "linear"
+
+    @field_validator("param")
+    @classmethod
+    def _known_param(cls, v):
+        if v not in HP_INDEX:
+            raise ValueError(f"unknown scheduled param {v!r}; one of {HP_FIELDS}")
+        return v
     start_value: float
     end_value: float = 0.0
     start_update: int = 0
@@ -62,9 +82,16 @@ class ScheduleRule(Config):
 class LossRunGate(Config):
     """Enable a loss coefficient only within an update range (0 end = forever)."""
 
-    param: Literal["kickstarter_coef", "action_supervised_coef", "ppo_ent_coef"]
+    param: str
     start_update: int = 0
     end_update: int = 0
+
+    @field_validator("param")
+    @classmethod
+    def _known_param(cls, v):
+        if v not in HP_INDEX:
+            raise ValueError(f"unknown gated param {v!r}; one of {HP_FIELDS}")
+        return v
 
     def active(self, update: int) -> bool:
         if update < self.start_update:

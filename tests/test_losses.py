@@ -99,3 +99,84 @@ def test_scheduled_coefs_change_update():
     hp2[HP_INDEX["ppo_ent_coef"]] = 0.0
     ts2, m2 = tr.update(ts1, hp2)
     assert np.isfinite(float(m2["policy_loss"]))
+
+
+# --- every auxiliary loss family changes the update (VERDICT r1 item #4) ---
+
+LOSS_CASES = [
+    # (name, config overrides, hp coefficient name, needs teacher)
+    ("grpo", {"losses.grpo.enabled": True}, "grpo_coef", False),
+    ("quantile", {"losses.quantile_ppo_critic.enabled": True}, "quantile_vf_coef", False),
+    ("contrastive", {"losses.contrastive.enabled": True}, "contrastive_coef", False),
+    ("stable_latent", {"losses.stable_latent.enabled": True}, "stable_latent_coef", False),
+    ("future_latent_ema", {"losses.future_latent_ema.enabled": True}, "future_latent_coef", False),
+    ("vit_reconstruction", {"losses.vit_reconstruction.enabled": True}, "vit_recon_coef", False),
+    # ema's gradient is zero while target==online (they start equal), so give
+    # it a real lr and 2 epochs so the target/online gap opens within the test
+    ("ema", {"losses.ema.enabled": True, "optimizer.type": "adam",
+             "optimizer.learning_rate": 0.05, "update_epochs": 2}, "ema_coef", False),
+    ("cmpo", {"losses.cmpo.enabled": True,
+              "losses.cmpo.world_model.hidden_dim": 32,
+              "losses.cmpo.world_model.ensemble_size": 2}, "cmpo_coef", False),
+    ("logit_kickstarter", {"losses.logit_kickstarter.enabled": True}, "logit_kickstarter_coef", True),
+    ("eer_kickstarter", {"losses.eer_kickstarter.enabled": True}, "eer_kickstarter_coef", True),
+    ("eer_cloner", {"losses.eer_cloner.enabled": True}, "eer_cloner_coef", True),
+    ("sliced_kickstarter", {"losses.sliced_kickstarter.enabled": True,
+                            "losses.sliced_kickstarter.teacher_led_proportion": 0.5},
+     "sliced_kickstarter_coef", True),
+    ("sliced_scripted_cloner", {"losses.sliced_scripted_cloner.enabled": True},
+     "scripted_cloner_coef", True),
+]
+
+
+def _param_delta(a, b):
+    import jax
+
+    return sum(
+        float(np.abs(np.asarray(x) - np.asarray(y)).sum())
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+@pytest.mark.parametrize("name,overrides,coef,needs_teacher", LOSS_CASES)
+def test_loss_changes_update(name, overrides, coef, needs_teacher):
+    """Same program, coefficient on vs off (runtime hp) → different params."""
+    from metta_tpu.rl.scheduler import HP_INDEX
+
+    tr = small_trainer(**overrides)
+    if needs_teacher:
+        teacher_params = tr.policy.init(
+            jax.random.PRNGKey(123),
+            np.zeros((1, 16, 3), np.uint8),
+            tr.policy.initial_state(1),
+        )
+        tr.set_teacher(tr.policy, teacher_params)
+    ts0 = tr.init_state(seed=0)
+    hp_on = tr.default_hp()
+    assert hp_on[HP_INDEX[coef]] > 0.0, f"{name}: coefficient not enabled"
+    hp_off = list(hp_on)
+    hp_off[HP_INDEX[coef]] = 0.0
+
+    ts_on, m_on = tr.update(ts0, hp_on)
+    # fresh state for the off run (same seed → same rollout data)
+    ts1 = tr.init_state(seed=0)
+    ts_off, m_off = tr.update(ts1, hp_off)
+    for k, v in m_on.items():
+        assert np.isfinite(float(v)), f"{name}: metric {k} not finite"
+    delta = _param_delta(ts_on.params, ts_off.params)
+    assert delta > 1e-7, f"{name}: loss coefficient had no effect on the update"
+
+
+def test_kl_early_stop_masks_updates():
+    """target_kl small enough to trip immediately → later minibatches no-op,
+    so the param delta is smaller than without the stop."""
+    tr = small_trainer(**{"losses.ppo_actor.target_kl": 1e-12,
+                          "optimizer.type": "adam",
+                          "optimizer.learning_rate": 0.05})
+    ts0 = tr.init_state(seed=0)
+    ts1, m = tr.update(ts0)
+    assert float(m["kl_early_stop"]) == 1.0
+    tr2 = small_trainer()
+    ts0b = tr2.init_state(seed=0)
+    ts1b, m2 = tr2.update(ts0b)
+    assert "kl_early_stop" not in m2
