@@ -93,6 +93,33 @@ class MettaGridEnv:
         else:
             _step_env = step_env
 
+        # On TPU, the batched step defers the obs render out of the per-env
+        # vmap into one whole-batch Pallas kernel (ops/obs_render2.py,
+        # byte-identical; ~3x over the XLA one-hot formulation). CPU/interpret
+        # keeps the in-vmap "mm" renderer.
+        backend = jax.default_backend()
+        self._pl2 = (
+            self.step_mode == "batched"
+            and backend not in ("cpu",)
+        )
+
+        def _stepped(vstate_env, actions):
+            """vmapped sim step + batched obs render → (env, obs)."""
+            if self._pl2:
+                from metta_tpu.ops.obs_render2 import render_obs_pallas2
+
+                env, rew_at_obs = jax.vmap(
+                    lambda s, a: _step_env(s, a, tables, render="defer")
+                )(vstate_env, actions)
+                obs = render_obs_pallas2(
+                    env, tables, env.executed_action, rew_at_obs, eps=1
+                )
+            else:
+                env, obs = jax.vmap(lambda s, a: _step_env(s, a, tables))(
+                    vstate_env, actions
+                )
+            return env, obs
+
         template = self._template
 
         def reset_batch(key):
@@ -113,7 +140,7 @@ class MettaGridEnv:
             ), obs
 
         def step_batch(vstate: VecEnvState, actions):
-            env, obs = jax.vmap(lambda s, a: _step_env(s, a, tables))(vstate.env, actions)
+            env, obs = _stepped(vstate.env, actions)
             force_trunc = (vstate.desync_step > 0) & (env.step >= vstate.desync_step)
             truncated = env.truncated | force_trunc
             done = env.done
@@ -154,7 +181,7 @@ class MettaGridEnv:
         def step_batch_no_reset(vstate: VecEnvState, actions):
             """Evaluation stepping: no auto-reset, terminal state (and its
             episode stats) stays readable after the episode ends."""
-            env, obs = jax.vmap(lambda s, a: _step_env(s, a, tables))(vstate.env, actions)
+            env, obs = _stepped(vstate.env, actions)
             vstate = vstate.replace(env=env)
             return vstate, obs, env.reward, env.done, env.truncated
 

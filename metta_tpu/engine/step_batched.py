@@ -424,7 +424,13 @@ def step_env_batched(state, actions, tables, render=True):
     ).astype(state.agent_grid.dtype)
     state = state.replace(agent_grid=grid)
 
-    if render:
+    if render == "defer":
+        # caller renders observations itself (batched Pallas kernel on the
+        # whole env batch); hand back the reward snapshot at obs time —
+        # observations see action-phase rewards but not stat rewards
+        # (mettagrid_c.cpp:653 obs before :656 stat rewards)
+        obs = state.reward
+    elif render:
         obs = render_observations(state, tables, state.executed_action, state.reward)
     else:
         obs = jnp.zeros((1, 1, 3), jnp.uint8)
