@@ -276,6 +276,53 @@ class LossesConfig(Config):
     vit_reconstruction: ViTReconstructionConfig = Field(default_factory=ViTReconstructionConfig)
 
 
+class SamplingConfig(Config):
+    """Minibatch sampling (reference ``training/experience.py:223-303``):
+    sequential contiguous slices or prioritized-by-|advantage| replay with
+    annealed importance-sampling correction."""
+
+    method: str = "sequential"            # "sequential" | "prioritized"
+    prio_alpha: float = Field(default=0.8, ge=0.0)
+    prio_beta0: float = Field(default=0.6, ge=0.0, le=1.0)
+
+
+class AutoTunerConfig(Config):
+    """Online update-epochs tuner (reference
+    ``training/update_epochs_tuner.py``): steps the number of *active* update
+    epochs up when KL is well under target, down when KL/clipfrac overshoot.
+    Enabled when evaluation_epochs > 0. The jitted update always runs
+    ``update_epochs`` scan iterations; inactive epochs are masked at runtime,
+    so tuning never recompiles."""
+
+    min_update_epochs: int = Field(default=1, ge=1)
+    max_update_epochs: int = Field(default=8, ge=1)
+    step_size: int = Field(default=1, ge=1)
+    evaluation_epochs: int = Field(default=0, ge=0)
+    warmup_epochs: int = Field(default=2, ge=0)
+    cooldown_epochs: int = Field(default=2, ge=0)
+    target_kl: float = Field(default=0.015, ge=0.0)
+    kl_tolerance: float = Field(default=0.3, ge=0.0)
+    max_clipfrac: float = Field(default=0.3, ge=0.0, le=1.0)
+
+    @property
+    def enabled(self) -> bool:
+        return self.evaluation_epochs > 0
+
+
+class ProfilerConfig(Config):
+    """Periodic jax.profiler traces (reference ``training/torch_profiler.py``
+    → TPU equivalent): every ``interval_updates`` updates one full update is
+    captured to ``logdir`` for xprof/Perfetto."""
+
+    interval_updates: int = Field(default=0, ge=0)
+    first_update: int = Field(default=3, ge=0)
+    logdir: str = "/tmp/metta_tpu_profiles"
+
+    @property
+    def enabled(self) -> bool:
+        return self.interval_updates > 0
+
+
 class TrainerConfig(Config):
     total_timesteps: int = Field(default=10_000_000_000, gt=0)
     losses: LossesConfig = Field(default_factory=LossesConfig)
@@ -304,6 +351,13 @@ class TrainerConfig(Config):
 
     # hyperparameter schedules + loss run gates (rl/scheduler.py)
     scheduler: Optional[SchedulerConfig] = None
+
+    sampling: SamplingConfig = Field(default_factory=SamplingConfig)
+    autotuner: Optional[AutoTunerConfig] = None
+    profiler: Optional[ProfilerConfig] = None
+    # gradient statistics (grad/mean, grad/variance, grad/norm) in metrics
+    # (reference training/gradient_reporter.py)
+    grad_stats: bool = False
 
     # Split each update into this many device programs (rollout chunks + a
     # separate learner program). 1 = fully fused. Use >1 on devices that kill

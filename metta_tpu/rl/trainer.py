@@ -402,6 +402,9 @@ class Trainer:
         adv = jax.lax.stop_gradient(adv)
         if ac.norm_adv:
             adv = normalize_advantage(adv, axis_name)
+        if "prio_weights" in mb:
+            # prioritized-replay IS correction (loss/ppo_actor.py:104-105)
+            adv = adv * mb["prio_weights"][None, :]
         pg1 = -adv * ratio
         pg2 = -adv * jnp.clip(ratio, 1 - clip_coef, 1 + clip_coef)
         pg_loss = L.masked_mean(jnp.maximum(pg1, pg2), pm)
@@ -494,6 +497,8 @@ class Trainer:
         """Zero-valued metric dict matching _loss_fn's output keys (static)."""
         ls = self.cfg.losses
         keys = ["policy_loss", "value_loss", "entropy", "approx_kl", "clipfrac"]
+        if self.cfg.grad_stats:
+            keys += ["grad/mean", "grad/variance", "grad/norm"]
         if self._need_teacher and self.teacher is not None:
             if ls.kickstarter.enabled:
                 keys += ["ks_act_loss", "ks_val_loss"]
@@ -562,15 +567,20 @@ class Trainer:
                 base[name] = float(getattr(lc, attr)) if attr else 1.0
         return [float(base[n]) for n in HP_FIELDS]
 
-    def update(self, ts: TrainState, hp=None):
-        """One train batch; hp overrides the scheduled coefficients."""
+    def update(self, ts: TrainState, hp=None, active_epochs=None):
+        """One train batch; hp overrides the scheduled coefficients.
+        active_epochs (runtime scalar) masks trailing update epochs — the
+        autotuner's knob; no recompile when it changes."""
         if hp is None:
             hp = jnp.asarray(self.default_hp(), jnp.float32)
         else:
             hp = jnp.asarray(hp, jnp.float32)
+        if active_epochs is None:
+            active_epochs = self.cfg.update_epochs
+        active_epochs = jnp.asarray(active_epochs, jnp.int32)
         if self.cfg.rollout_chunks > 1:
-            return self._update_chunked(ts, hp)
-        return self._update_jit(ts, hp)
+            return self._update_chunked(ts, hp, active_epochs)
+        return self._update_jit(ts, hp, active_epochs)
 
     # -- chunked path: several shorter device programs per update (see
     # TrainerConfig.rollout_chunks) --------------------------------------
@@ -591,15 +601,15 @@ class Trainer:
                 self.T = saved_T
             return ts, traj
 
-        def learn(ts, traj, hp):
-            return self._learn_phase(ts, traj, hp, axis_name=None)
+        def learn(ts, traj, hp, active_epochs):
+            return self._learn_phase(ts, traj, hp, active_epochs, axis_name=None)
 
         self._chunk_jits = (
             jax.jit(rollout_chunk, donate_argnums=(0,)),
             jax.jit(learn, donate_argnums=(1,)),
         )
 
-    def _update_chunked(self, ts: TrainState, hp):
+    def _update_chunked(self, ts: TrainState, hp, active_epochs):
         self._ensure_chunked_jits()
         roll_jit, learn_jit = self._chunk_jits
         chunks = []
@@ -607,13 +617,18 @@ class Trainer:
             ts, traj = roll_jit(ts)
             chunks.append(traj)
         traj = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
-        return learn_jit(ts, traj, hp)
+        return learn_jit(ts, traj, hp, active_epochs)
 
-    def _update(self, ts: TrainState, hp, axis_name=None):
+    def _update(self, ts: TrainState, hp, active_epochs=None, axis_name=None):
+        if active_epochs is None:
+            active_epochs = jnp.int32(self.cfg.update_epochs)
         ts, traj = self._rollout(ts)
-        return self._learn_phase(ts, traj, hp, axis_name)
+        return self._learn_phase(ts, traj, hp, active_epochs, axis_name)
 
-    def _learn_phase(self, ts: TrainState, traj, hp, axis_name=None):
+    def _learn_phase(self, ts: TrainState, traj, hp, active_epochs=None,
+                     axis_name=None):
+        if active_epochs is None:
+            active_epochs = jnp.int32(self.cfg.update_epochs)
         cfg = self.cfg
         ls = cfg.losses
         adv_cfg = cfg.advantage
@@ -658,18 +673,44 @@ class Trainer:
         rows_mb = self.rows_per_mb
         n_mb = self.n_minibatches
         target_kl = ls.ppo_actor.target_kl
+        sampling = cfg.sampling
+        prioritized = (sampling.method == "prioritized"
+                       and sampling.prio_alpha > 0.0)
+        if prioritized:
+            # prioritized replay over rollout rows
+            # (experience.py:233-269): p(b) ∝ (Σ_t |A_tb|)^α, IS weight
+            # (B·p)^-β with β annealed toward 1 over the run
+            adv_mag = jnp.sum(jnp.abs(advantages), axis=0)       # [B]
+            pw = jnp.nan_to_num(adv_mag ** sampling.prio_alpha, nan=0.0,
+                                posinf=0.0, neginf=0.0)
+            prio_probs = (pw + 1e-6) / (jnp.sum(pw) + 1e-6)
+            total_epochs = max(1, cfg.total_timesteps // max(cfg.batch_size, 1))
+            anneal_beta = (
+                sampling.prio_beta0
+                + (1.0 - sampling.prio_beta0) * sampling.prio_alpha
+                * ts.update_idx.astype(jnp.float32) / total_epochs
+            )
+            prio_is_all = (B * prio_probs) ** (-anneal_beta)     # [B]
 
-        def epoch_body(carry, _):
+        def epoch_body(carry, e_i):
             params, aux_params, opt_state, aux_opt, key, msum, stop = carry
             key, k_perm = jax.random.split(key)
             perm = jax.random.permutation(k_perm, B)
+            # autotuner masking: epochs past the runtime active count no-op
+            stop = jnp.maximum(stop, (e_i >= active_epochs).astype(jnp.float32))
 
             def mb_body(i, c):
                 params, aux_params, opt_state, aux_opt, msum, stop, key = c
-                key, k_loss = jax.random.split(key)
-                rows = jax.lax.dynamic_slice(perm, (i * rows_mb,), (rows_mb,))
+                key, k_loss, k_prio = jax.random.split(key, 3)
+                if prioritized:
+                    rows = jax.random.choice(
+                        k_prio, B, (rows_mb,), replace=False, p=prio_probs)
+                else:
+                    rows = jax.lax.dynamic_slice(perm, (i * rows_mb,), (rows_mb,))
                 mb = {k: jnp.take(v, rows, axis=1) for k, v in data.items()}
                 mb["rows"] = rows
+                if prioritized:
+                    mb["prio_weights"] = jnp.take(prio_is_all, rows)
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_fn, has_aux=True
                 )((params, aux_params), mb, hp, ts.loss_state, k_loss, axis_name)
@@ -698,6 +739,14 @@ class Trainer:
                         aux_opt, aux_opt2)
                 if target_kl is not None:
                     stop = jnp.where(metrics["approx_kl"] > target_kl, 1.0, stop)
+                if cfg.grad_stats:
+                    flat = jnp.concatenate([
+                        jnp.ravel(x) for x in jax.tree.leaves(g_params)
+                    ]).astype(jnp.float32)
+                    metrics = dict(metrics)
+                    metrics["grad/mean"] = jnp.mean(flat)
+                    metrics["grad/variance"] = jnp.var(flat)
+                    metrics["grad/norm"] = jnp.linalg.norm(flat)
                 msum = jax.tree.map(jnp.add, msum, metrics)
                 return params, aux_params, opt_state, aux_opt, msum, stop, key
 
@@ -712,7 +761,7 @@ class Trainer:
             epoch_body,
             (ts.params, ts.aux_params, ts.opt_state, ts.aux_opt_state,
              ts.key, m0, jnp.float32(0.0)),
-            None, length=cfg.update_epochs,
+            jnp.arange(cfg.update_epochs),
         )
         n_updates = cfg.update_epochs * n_mb
         metrics = jax.tree.map(lambda m: m / n_updates, msum)
@@ -760,9 +809,37 @@ class Trainer:
             dict(zip(HP_FIELDS, self.default_hp())),
         )
         n_update = 0
+        tuner = None
+        if self.cfg.autotuner is not None and self.cfg.autotuner.enabled:
+            from metta_tpu.rl.autotuner import UpdateEpochAutoTuner
+            tuner = UpdateEpochAutoTuner(self.cfg.autotuner,
+                                         self.cfg.update_epochs)
+        prof = self.cfg.profiler
         while self.agent_steps < total:
             self._maybe_advance_checkpointed_teacher(n_update)
-            ts, metrics = self.update(ts, scheduler.hp_vector(n_update))
+            active = tuner.current if tuner is not None else None
+            profile_now = (
+                prof is not None and prof.enabled
+                and n_update >= prof.first_update
+                and (n_update - prof.first_update) % prof.interval_updates == 0
+            )
+            if profile_now:
+                import os
+                os.makedirs(prof.logdir, exist_ok=True)
+                try:
+                    with jax.profiler.trace(prof.logdir):
+                        ts, metrics = self.update(
+                            ts, scheduler.hp_vector(n_update), active)
+                        jax.block_until_ready(metrics)
+                except Exception:  # profiling must never kill training
+                    ts, metrics = self.update(
+                        ts, scheduler.hp_vector(n_update), active)
+            else:
+                ts, metrics = self.update(ts, scheduler.hp_vector(n_update), active)
+            if tuner is not None:
+                tuner.observe(n_update,
+                              float(metrics["approx_kl"]),
+                              float(metrics["clipfrac"]))
             n_update += 1
             self.agent_steps += steps_per_update
             if log_fn is not None:
