@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Annotated, Any, Literal, Optional, Union, get_args
 
-from pydantic import ConfigDict, Discriminator, Field, SerializeAsAny, Tag, model_validator
+from pydantic import field_validator, ConfigDict, Discriminator, Field, SerializeAsAny, Tag, model_validator
 
 from metta_tpu.config.base import Config
 from metta_tpu.config.obs_config import ObsConfig
@@ -333,6 +333,13 @@ class GameConfig(Config):
     clipper: Optional[ClipperConfig] = Field(default=None)
     collectives: list[CollectiveConfig] = Field(default_factory=list)
     map_builder: Any = Field(default=None)
+
+    @field_validator("map_builder", mode="before")
+    @classmethod
+    def _resolve_map_builder(cls, v):
+        from metta_tpu.map_builder.map_builder import load_map_builder_config
+
+        return load_map_builder_config(v)
     protocol_details_obs: bool = Field(default=True)
     reward_estimates: Optional[dict[str, float]] = None
 
