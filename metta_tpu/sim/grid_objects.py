@@ -22,7 +22,6 @@ def grid_objects(
     """state: single-env EnvState with host (numpy) leaves."""
     ignore = set(ignore_types or [])
     out: dict[int, dict[str, Any]] = {}
-    obj_id = 1
 
     static_kind = np.asarray(state.static_kind)
     static_type = np.asarray(state.static_type)
@@ -46,6 +45,9 @@ def grid_objects(
             tname = type_names[static_type[r, c]]
             if tname in ignore:
                 continue
+            # position-derived id: stable across calls regardless of which
+            # types are enumerated (replay streams key on object identity)
+            obj_id = int(r) * W + int(c) + 1
             obj = base(tname, r, c)
             obj["id"] = obj_id
             if kind == KIND_ASSEMBLER:
@@ -65,11 +67,11 @@ def grid_objects(
                 inv = np.asarray(state.chest_inv)[i]
                 obj["inventory"] = {int(j): int(v) for j, v in enumerate(inv) if v > 0}
             out[obj_id] = obj
-            obj_id += 1
 
     agent_r = np.asarray(state.agent_r)
     agent_c = np.asarray(state.agent_c)
     for a in range(compiled.num_agents):
+        obj_id = H * W + a + 1
         obj = base("agent", agent_r[a], agent_c[a])
         obj["id"] = obj_id
         obj["agent_id"] = a
@@ -87,6 +89,5 @@ def grid_objects(
         inv = np.asarray(state.agent_inv)[a]
         obj["inventory"] = {int(j): int(v) for j, v in enumerate(inv) if v > 0}
         out[obj_id] = obj
-        obj_id += 1
 
     return out
