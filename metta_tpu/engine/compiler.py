@@ -60,6 +60,10 @@ SRC_CHEST_DEPOSITED = 5      # chest.<r>.deposited (game stat)
 SRC_CHEST_WITHDRAWN = 6      # chest.<r>.withdrawn (game stat)
 SRC_CHEST_DEPOSITED_BY_AGENT = 7  # chest.<r>.deposited_by_agent (agent stat)
 SRC_ASM_CREATED = 8          # assembler.<r>.created (game stat)
+SRC_ALIGNED = 9              # aligned.<type> (live collective member count)
+SRC_COLL_DEPOSITED = 10      # collective.<r>.deposited (collective stat)
+SRC_COLL_WITHDRAWN = 11      # collective.<r>.withdrawn (collective stat)
+N_STAT_SOURCES = 12
 
 TEAM_NAMES = {0: "red", 1: "blue", 2: "green", 3: "yellow", 4: "purple", 5: "orange"}
 
@@ -163,6 +167,7 @@ class CompiledConfig:
     agent_damage_res_mask: np.ndarray  # [A, R] bool
     agent_tags: np.ndarray           # [A, max_tags] int32 (-1 pad)
     agent_collective: np.ndarray     # [A] int32 (-1 none)
+    coll_aligned_init: np.ndarray    # [NL, NT] int32 initial member counts
     # stat rewards compiled to (src, idx, weight, max) tuples per slot
     stat_src: np.ndarray    # [A, S] int32
     stat_idx: np.ndarray    # [A, S] int32
@@ -357,14 +362,24 @@ _STAT_PATTERNS = [
     (re.compile(r"^chest\.(?P<r>[^.]+)\.withdrawn$"), SRC_CHEST_WITHDRAWN),
     (re.compile(r"^chest\.(?P<r>[^.]+)\.deposited_by_agent$"), SRC_CHEST_DEPOSITED_BY_AGENT),
     (re.compile(r"^assembler\.(?P<r>[^.]+)\.created$"), SRC_ASM_CREATED),
+    (re.compile(r"^collective\.(?P<r>[^.]+)\.deposited$"), SRC_COLL_DEPOSITED),
+    (re.compile(r"^collective\.(?P<r>[^.]+)\.withdrawn$"), SRC_COLL_WITHDRAWN),
 ]
 
+_ALIGNED_PATTERN = re.compile(r"^aligned\.(?P<t>[^.]+)$")
 
-def _parse_stat_key(key: str, name_to_id: dict[str, int]) -> tuple[int, int]:
+
+def _parse_stat_key(key: str, name_to_id: dict[str, int],
+                    type_name_to_id: dict[str, int] | None = None) -> tuple[int, int]:
     for pattern, src in _STAT_PATTERNS:
         m = pattern.match(key)
         if m and m.group("r") in name_to_id:
             return src, name_to_id[m.group("r")]
+    m = _ALIGNED_PATTERN.match(key)
+    if m and type_name_to_id and m.group("t") in type_name_to_id:
+        # live collective member count by object type (collective.hpp:52,
+        # agent.cpp:116): idx indexes the TYPE table, not resources
+        return SRC_ALIGNED, type_name_to_id[m.group("t")]
     logger.warning("stat reward key %r is not engine-compiled; it will read 0", key)
     return SRC_ZERO, 0
 
@@ -394,6 +409,7 @@ def compile_game(game: GameConfig, game_map: GameMap) -> tuple[CompiledConfig, d
     type_id_by_name = {n: i + 1 for i, n in enumerate(type_names_sorted)}
     NT = 1 + len(type_names_sorted)
     object_type_names = ["agent"] + type_names_sorted
+    type_name_to_id = {n: i for i, n in enumerate(object_type_names)}
 
     # --- tags ---
     all_tags: set[str] = set()
@@ -553,7 +569,7 @@ def compile_game(game: GameConfig, game_map: GameMap) -> tuple[CompiledConfig, d
             stat_max[f"{rn}.amount"] = mx
         tc.stat_entries = []
         for key, wgt in stat_rewards.items():
-            src, ridx = _parse_stat_key(key, name_to_id)
+            src, ridx = _parse_stat_key(key, name_to_id, type_name_to_id)
             mx = stat_max.get(key, np.inf)
             tc.stat_entries.append((src, ridx, float(wgt), float(mx)))
         n_stat_slots = max(n_stat_slots, len(tc.stat_entries))
@@ -875,6 +891,28 @@ def compile_game(game: GameConfig, game_map: GameMap) -> tuple[CompiledConfig, d
                 if scaled <= cutoff:
                     clipper_w[i, j] = 1 << (cutoff - scaled)
 
+    # --- initial collective member counts by type (collective.hpp:47-56:
+    # agents join via their team's collective:<name> tag; static objects via
+    # their type config's tags) ---
+    coll_aligned_init = np.zeros((NL, NT), np.int32)
+    for a_id in range(A):
+        cl = agent_collective[a_id]
+        if cl >= 0:
+            coll_aligned_init[cl, 0] += 1          # type 0 = "agent"
+    type_collective = np.full((NT,), -1, np.int32)
+    for obj_name, obj in game.objects.items():
+        for tg_name in obj.tags:
+            if tg_name.startswith("collective:"):
+                cname = tg_name.split(":", 1)[1]
+                if cname in coll_name_to_id:
+                    type_collective[type_id_by_name[obj_name]] = coll_name_to_id[cname]
+    for (_r, _c, t_id) in asm_list:
+        if type_collective[t_id] >= 0:
+            coll_aligned_init[type_collective[t_id], t_id] += 1
+    for (_r, _c, t_id) in chest_list:
+        if type_collective[t_id] >= 0:
+            coll_aligned_init[type_collective[t_id], t_id] += 1
+
     scan_dr, scan_dc = center_out_scan_order(game.obs.height, game.obs.width)
 
     # worst-case tokens a single cell can emit (static bound for the renderer).
@@ -986,6 +1024,7 @@ def compile_game(game: GameConfig, game_map: GameMap) -> tuple[CompiledConfig, d
         clipper_enabled=clipper_enabled, clip_period=clip_period,
         clipper_infection_w=clipper_w,
         coll_inv_class=coll_inv_class, coll_initial_inv=coll_initial_inv,
+        coll_aligned_init=coll_aligned_init,
         global_episode_completion=game.global_obs.episode_completion_pct,
         global_last_action=game.global_obs.last_action,
         global_last_reward=game.global_obs.last_reward,

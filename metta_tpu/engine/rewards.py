@@ -18,7 +18,10 @@ import jax
 import jax.numpy as jnp
 
 from metta_tpu.engine.compiler import (
+    SRC_ALIGNED,
     SRC_ASM_CREATED,
+    SRC_COLL_DEPOSITED,
+    SRC_COLL_WITHDRAWN,
     SRC_CHEST_AMOUNT,
     SRC_CHEST_DEPOSITED,
     SRC_CHEST_DEPOSITED_BY_AGENT,
@@ -60,10 +63,39 @@ def compute_stat_rewards(state, tables):
         jnp.broadcast_to(state.game_asm_created, (A, R)),      # SRC_ASM_CREATED
     ], axis=1)                                          # [A, 9, R]
 
-    srcoh = src[:, :, None] == jnp.arange(9)[None, None, :]        # [A, S, 9]
+    # collective stats read live via the agent's (runtime) membership
+    # (agent.cpp:116: stat_value += collective->stats.get(key)); agents with
+    # no collective read zeros via the one-hot miss
+    NL = tables.n_collectives
+    colloh = state.agent_coll[:, None] == jnp.arange(NL)[None, :]  # [A, NL]
+    my_dep = jnp.sum(jnp.where(colloh[:, :, None], state.coll_deposited[None], 0), axis=1)
+    my_wd = jnp.sum(jnp.where(colloh[:, :, None], state.coll_withdrawn[None], 0), axis=1)
+    table = jnp.concatenate([
+        table, my_dep[:, None], my_wd[:, None]
+    ], axis=1)                                          # [A, 11, R] (9,10 = dep,wd)
+    src_r = jnp.where(src == SRC_COLL_DEPOSITED, 9,
+                      jnp.where(src == SRC_COLL_WITHDRAWN, 10, src))
+    src_r = jnp.where(src == SRC_ALIGNED, 0, src_r)     # aligned handled below
+
+    srcoh = src_r[:, :, None] == jnp.arange(11)[None, None, :]     # [A, S, 11]
     idxoh = idx[:, :, None] == jnp.arange(R)[None, None, :]        # [A, S, R]
     picked = jnp.sum(jnp.where(srcoh[:, :, :, None], table[:, None], 0), axis=2)  # [A, S, R]
     vals = jnp.sum(jnp.where(idxoh, picked, 0), axis=2).astype(jnp.float32)       # [A, S]
+
+    # aligned.<type>: idx indexes the TYPE axis of the live member counts
+    import numpy as _np
+
+    if bool((_np.asarray(tables._cfg.stat_src) == SRC_ALIGNED).any()):
+        NT = tables.n_object_types
+        my_aligned = jnp.sum(
+            jnp.where(colloh[:, :, None], state.coll_aligned[None], 0), axis=1
+        )                                               # [A, NT]
+        toh = idx[:, :, None] == jnp.arange(NT)[None, None, :]     # [A, S, NT]
+        aligned_vals = jnp.sum(
+            jnp.where(toh, my_aligned[:, None], 0), axis=2
+        ).astype(jnp.float32)
+        vals = jnp.where(src == SRC_ALIGNED, aligned_vals, vals)
+
     contrib = jnp.minimum(vals * tables.stat_w, tables.stat_max)
     new_level = jnp.sum(contrib, axis=1)                # [A]
     delta = new_level - state.agent_current_stat_reward

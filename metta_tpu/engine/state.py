@@ -77,6 +77,11 @@ class EnvState:
 
     # --- collectives ---
     coll_inv: jnp.ndarray      # [NL, R] int32
+    agent_coll: jnp.ndarray    # [A] int32 (-1 unaligned; runtime-mutable via
+                               #   align/unalign mutations — alignable.cpp)
+    coll_aligned: jnp.ndarray  # [NL, NT] int32 live member counts by type
+    coll_deposited: jnp.ndarray  # [NL, R] int32 collective.<r>.deposited
+    coll_withdrawn: jnp.ndarray  # [NL, R] int32 collective.<r>.withdrawn
 
     # --- game-level stat accumulators ---
     game_chest_deposited: jnp.ndarray  # [R] int32

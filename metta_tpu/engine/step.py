@@ -76,6 +76,10 @@ def make_initial_state(tables: Tables, init: dict, key) -> EnvState:
         chest_type=jnp.asarray(init["chest_type"], jnp.int32),
         chest_valid=jnp.asarray(init["chest_valid"]),
         coll_inv=jnp.clip(tables.coll_initial_inv, 0, 65535).astype(jnp.int32),
+        agent_coll=jnp.asarray(tables.agent_collective, jnp.int32),
+        coll_aligned=jnp.asarray(tables.coll_aligned_init, jnp.int32),
+        coll_deposited=jnp.zeros_like(tables.coll_initial_inv),
+        coll_withdrawn=jnp.zeros_like(tables.coll_initial_inv),
         game_chest_deposited=jnp.zeros((R,), jnp.int32),
         game_chest_withdrawn=jnp.zeros((R,), jnp.int32),
         game_asm_created=jnp.zeros((R,), jnp.int32),
