@@ -89,3 +89,6 @@ TRAINING_VIBES: list[Vibe] = [
 
 def vibe_name_to_id(vibes: list[Vibe]) -> dict[str, int]:
     return {v.name: i for i, v in enumerate(vibes)}
+
+
+VIBE_BY_NAME: dict[str, Vibe] = {v.name: v for v in VIBES}
