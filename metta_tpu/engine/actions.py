@@ -51,7 +51,7 @@ def try_attack(state, tables, a, tgt, mask):
     armor = jnp.sum(armor_amounts * tables.attack_armor_w)
     damage_bonus = jnp.maximum(weapon - armor, 0)
 
-    if tables._cfg.attack_defense_any:
+    if tables.attack_defense_any:
         required = tables.attack_defense + damage_bonus
         can_defend = jnp.all(
             ~tables.attack_defense_mask | (state.agent_inv[t] >= required)
@@ -76,13 +76,13 @@ def try_attack(state, tables, a, tgt, mask):
 
     hit = valid & ~blocked
     # freeze target
-    if tables._cfg.attack_freeze > 0:
+    if tables.attack_freeze > 0:
         state = state.replace(
-            agent_frozen=_masked_set(state.agent_frozen, t, jnp.int32(tables._cfg.attack_freeze), hit)
+            agent_frozen=_masked_set(state.agent_frozen, t, jnp.int32(tables.attack_freeze), hit)
         )
 
     # actor / target inventory deltas (ascending resource id)
-    if bool((tables._cfg.attack_actor_delta != 0).any() or (tables._cfg.attack_target_delta != 0).any()):
+    if tables.any_attack_delta:
         if tables.inv_vector_ok:
             from metta_tpu.engine.inventory_vec import agent_update_multi
 
@@ -100,7 +100,7 @@ def try_attack(state, tables, a, tgt, mask):
 
     # loot: steal everything the target holds, capped by actor capacity
     # (config order matters for capacity spillover — attack.hpp:216-223)
-    for r_loot in tables._cfg.attack_loot_ids.tolist():
+    for r_loot in tables.loot_ids:
         amount = state.agent_inv[t, r_loot]
         do = hit & (amount > 0)
         if tables.inv_vector_ok:
@@ -122,7 +122,7 @@ def try_attack(state, tables, a, tgt, mask):
             state, _ = agent_update(state, tables, t, r_loot, -stolen, do)
 
     # consume attack cost from actor (on success, incl. blocked)
-    if bool((tables._cfg.attack_consumed != 0).any()):
+    if tables.any_attack_consumed:
         if tables.inv_vector_ok:
             from metta_tpu.engine.inventory_vec import agent_update_multi
 
@@ -368,7 +368,7 @@ def apply_agent_action(state, tables, a, action_idx):
     )
 
     # consume the action's own resources on success
-    if bool((tables._cfg.action_consumed != 0).any()):
+    if tables.any_action_consumed:
         if tables.inv_vector_ok:
             from metta_tpu.engine.inventory_vec import agent_update_multi
 

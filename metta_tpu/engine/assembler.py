@@ -66,7 +66,7 @@ def assembler_use(state, tables, a, asm_idx, mask):
     orig_has_output = jnp.any(outputs > 0)
 
     # --- partial-usage scaling (assembler.hpp:427-453) ---
-    if bool(tables._cfg.type_allow_partial.any()):
+    if tables.any_allow_partial:
         duration = jnp.maximum(state.asm_cooldown_duration[i], 1)
         elapsed = state.asm_cooldown_duration[i] - remaining
         do_scale = (remaining > 0) & allow_partial

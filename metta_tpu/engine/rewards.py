@@ -85,7 +85,7 @@ def compute_stat_rewards(state, tables):
     # aligned.<type>: idx indexes the TYPE axis of the live member counts
     import numpy as _np
 
-    if bool((_np.asarray(tables._cfg.stat_src) == SRC_ALIGNED).any()):
+    if tables.any_stat_aligned:
         NT = tables.n_object_types
         my_aligned = jnp.sum(
             jnp.where(colloh[:, :, None], state.coll_aligned[None], 0), axis=1

@@ -228,7 +228,7 @@ def step_env_batched(state, actions, tables, render=True):
         armor = jnp.sum(armor_amounts * tables.attack_armor_w, axis=1)
         bonus = jnp.maximum(weapon - armor, 0)
 
-        if tables._cfg.attack_defense_any:
+        if tables.attack_defense_any:
             required = tables.attack_defense[None, :] + bonus[:, None]  # [A, R]
             can_defend = jnp.all(
                 ~tables.attack_defense_mask | (inv_t >= required), axis=1
@@ -247,10 +247,10 @@ def step_env_batched(state, actions, tables, render=True):
             blocked = jnp.zeros((A,), bool)
 
         hit = valid & ~blocked
-        if tables._cfg.attack_freeze > 0:
+        if tables.attack_freeze > 0:
             state = state.replace(
                 agent_frozen=state.agent_frozen + sum_to_targets(
-                    jnp.full((A,), jnp.int32(tables._cfg.attack_freeze)), hit
+                    jnp.full((A,), jnp.int32(tables.attack_freeze)), hit
                 )
             )
         # actor/target deltas + loot + consume, one-hot sums with final clamp
@@ -259,7 +259,7 @@ def step_env_batched(state, actions, tables, render=True):
             jnp.broadcast_to(tables.attack_target_delta[None, :], (A, R)), hit
         )
         inv_t_now = from_targets(state.agent_inv)
-        for r_loot in tables._cfg.attack_loot_ids.tolist():
+        for r_loot in tables.loot_ids:
             amount = inv_t_now[:, r_loot]
             space = jnp.maximum(lims[:, r_loot] - state.agent_inv[:, r_loot], 0)
             stolen = jnp.where(hit, jnp.minimum(amount, space), 0)
@@ -385,7 +385,7 @@ def step_env_batched(state, actions, tables, render=True):
         success = success | chest_success
 
     # ---------- action resource consumption + motion stats ----------
-    if bool((tables._cfg.action_consumed != 0).any()):
+    if tables.any_action_consumed:
         consumed = jnp.where(
             success[:, None], _lut(tables.action_consumed, act, NACT), 0
         )
@@ -595,7 +595,7 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         vibe_counts = gth(tables.proto_vibe_counts, tables.uproto_vibe_counts)
         orig_has_output = jnp.any(outputs > 0)
 
-        if bool(tables._cfg.type_allow_partial.any()):
+        if tables.any_allow_partial:
             duration = jnp.maximum(cd_dur_i, 1)
             elapsed = cd_dur_i - remaining
             do_scale = (remaining > 0) & allow_partial_i

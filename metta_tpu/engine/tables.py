@@ -1,20 +1,48 @@
 """Device-side view of a CompiledConfig.
 
 ``Tables`` mirrors every field of :class:`CompiledConfig`, with numpy arrays
-converted to ``jnp`` device constants (closed over by the jitted step — XLA
-folds them into the executable). Static Python ints/bools stay plain so they
-drive trace-time specialization (whole subsystems vanish from the HLO when a
-config doesn't use them).
+converted to ``jnp`` device arrays. Static Python ints/bools stay plain so
+they drive trace-time specialization (whole subsystems vanish from the HLO
+when a config doesn't use them).
+
+``Tables`` is a registered pytree: the arrays are leaves, everything static
+is aux data. That means a ``Tables`` can be passed as a *runtime argument*
+to a jitted function — two tasks whose configs share shapes and static
+gates (same map size, agent count, subsystem usage) reuse one compiled
+program with different table values. This is what lets curriculum task
+swaps happen without recompiles (reference ``CurriculumEnv`` swaps tasks
+per env per episode: ``cogworks/curriculum/curriculum_env.py``), and what
+lets a whole task *set* be stacked along a leading axis and indexed per
+env (see ``engine/taskset.py``).
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from metta_tpu.engine.compiler import CompiledConfig
+from metta_tpu.engine import compiler as _C
+
+
+def _freeze(v):
+    """Host metadata → hashable aux representation."""
+    if isinstance(v, dict):
+        return ("__dict__",) + tuple(sorted(v.items()))
+    if isinstance(v, list):
+        return ("__list__",) + tuple(v)
+    return v
+
+
+def _thaw(v):
+    if isinstance(v, tuple) and v and v[0] == "__dict__":
+        return dict(v[1:])
+    if isinstance(v, tuple) and v and v[0] == "__list__":
+        return list(v[1:])
+    return v
 
 
 class Tables:
@@ -29,10 +57,8 @@ class Tables:
                  obs_renderer: str = "mm"):
         self._cfg = cfg
         self.obs_renderer = obs_renderer
-        import numpy as _np
-        from metta_tpu.engine import compiler as _C
 
-        used_srcs = set(_np.unique(cfg.stat_src))
+        used_srcs = set(np.unique(cfg.stat_src))
         self.track_gained = track_stats or bool(
             used_srcs & {_C.SRC_GAINED, _C.SRC_LOST}
         )
@@ -42,13 +68,40 @@ class Tables:
                 _C.SRC_CHEST_DEPOSITED_BY_AGENT, _C.SRC_ASM_CREATED,
             }
         )
+        array_names = []
         for f in dataclasses.fields(cfg):
             v = getattr(cfg, f.name)
             if isinstance(v, np.ndarray):
                 v = jnp.asarray(v)
+                array_names.append(f.name)
             setattr(self, f.name, v)
         # [C, R]: is resource r a limit modifier for any group of class c?
         self.inv_is_modifier = jnp.asarray((cfg.inv_group_mod != 0).any(axis=1))
+        array_names.append("inv_is_modifier")
+        self._array_names = tuple(array_names)
+
+        # --- trace-time statics (compile-gate whole subsystems) ---
+        self.has_assemblers = bool(np.any(cfg.type_kind == 3))
+        self.has_chests = bool(np.any(cfg.type_kind == 4))
+        self.has_attack = bool(cfg.attack_vibe_mask.any())
+        self.has_transfer = bool(cfg.transfer_vibe_mask.any())
+        self.has_damage = bool(cfg.agent_damage_enabled.any())
+        self.has_regen = cfg.inventory_regen_interval > 0 and bool(
+            cfg.agent_has_regen.any()
+        )
+        self.has_mods = bool(cfg.inv_class_has_mods.any())
+        self.has_swap = self.has_attack or bool(
+            (cfg.agent_freeze_duration != 0).any()
+        )
+        self.loot_ids = tuple(int(r) for r in cfg.attack_loot_ids)
+        self.any_attack_delta = bool(
+            (cfg.attack_actor_delta != 0).any() or (cfg.attack_target_delta != 0).any()
+        )
+        self.any_attack_consumed = bool((cfg.attack_consumed != 0).any())
+        self.any_action_consumed = bool((cfg.action_consumed != 0).any())
+        self.any_allow_partial = bool(cfg.type_allow_partial.any())
+        self.any_stat_aligned = bool((cfg.stat_src == _C.SRC_ALIGNED).any())
+
         # Fast-path gate: multi-resource inventory updates are exactly
         # order-independent when every limit group is a single resource and
         # there are no limit modifiers. (Shared groups / modifiers couple
@@ -60,40 +113,51 @@ class Tables:
                 singleton = False
         self.inv_vector_ok = singleton and not bool(cfg.inv_group_mod.any())
 
+    # ------------------------------------------------------------------
+    # pytree protocol: arrays = children, statics = aux
+    # ------------------------------------------------------------------
+
+    _STATIC_NAMES = (
+        "obs_renderer", "track_gained", "track_chest_stats",
+        "has_assemblers", "has_chests", "has_attack", "has_transfer",
+        "has_damage", "has_regen", "has_mods", "has_swap",
+        "loot_ids", "any_attack_delta", "any_attack_consumed",
+        "any_action_consumed", "any_allow_partial", "any_stat_aligned",
+        "inv_vector_ok",
+    )
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, n) for n in self._array_names)
+        statics = tuple(
+            (f.name, _freeze(getattr(self, f.name)))
+            for f in dataclasses.fields(CompiledConfig)
+            if f.name not in self._array_names
+        )
+        derived = tuple((n, getattr(self, n)) for n in self._STATIC_NAMES)
+        return children, (self._array_names, statics, derived)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        array_names, statics, derived = aux
+        obj = object.__new__(cls)
+        obj._cfg = None  # host-side config not carried through traces
+        obj._array_names = array_names
+        for n, v in zip(array_names, children):
+            setattr(obj, n, v)
+        for n, v in statics:
+            setattr(obj, n, _thaw(v))
+        for n, v in derived:
+            setattr(obj, n, v)
+        return obj
+
     @property
     def inv_tables(self):
         """(res_group, group_base, group_mod) triple for inventory ops."""
         return (self.inv_res_group, self.inv_group_base, self.inv_group_mod)
 
-    @property
-    def has_assemblers(self) -> bool:
-        return bool(np.any(self._cfg.type_kind == 3))
 
-    @property
-    def has_chests(self) -> bool:
-        return bool(np.any(self._cfg.type_kind == 4))
-
-    @property
-    def has_attack(self) -> bool:
-        return bool(self._cfg.attack_vibe_mask.any())
-
-    @property
-    def has_transfer(self) -> bool:
-        return bool(self._cfg.transfer_vibe_mask.any())
-
-    @property
-    def has_damage(self) -> bool:
-        return bool(self._cfg.agent_damage_enabled.any())
-
-    @property
-    def has_regen(self) -> bool:
-        return self._cfg.inventory_regen_interval > 0 and bool(self._cfg.agent_has_regen.any())
-
-    @property
-    def has_swap(self) -> bool:
-        # Swapping only matters when agents can be frozen.
-        return self.has_attack or bool((self._cfg.agent_freeze_duration != 0).any())
-
-    @property
-    def has_mods(self) -> bool:
-        return bool(self._cfg.inv_class_has_mods.any())
+jax.tree_util.register_pytree_node(
+    Tables,
+    lambda t: t.tree_flatten(),
+    Tables.tree_unflatten,
+)

@@ -109,10 +109,10 @@ class DistributedTrainer(Trainer):
         local.n_minibatches = local.B // local.rows_per_mb
         self._local = local
 
-        def sharded_update(ts: TrainState, hp):
+        def sharded_update(ts: TrainState, hp, active_epochs):
             idx = jax.lax.axis_index("data")
             ts = ts.replace(key=jax.random.fold_in(ts.key, idx))
-            ts, metrics = local._update(ts, hp, axis_name="data")
+            ts, metrics = local._update(ts, hp, active_epochs, axis_name="data")
             # Re-sync the stored key so the replicated spec holds (all shards
             # derive next-round keys by folding their index again).
             ts = ts.replace(key=jax.lax.all_gather(ts.key, "data")[0])
@@ -123,7 +123,7 @@ class DistributedTrainer(Trainer):
             shard_map(
                 sharded_update,
                 mesh=self.mesh,
-                in_specs=(spec, P()),
+                in_specs=(spec, P(), P()),
                 out_specs=(spec, P()),
             ),
             donate_argnums=(0,),

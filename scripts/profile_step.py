@@ -1,109 +1,108 @@
-"""Decompose per-step cost on the device: full step vs obs-only vs sim-only.
+"""Decompose batched-step cost on the real device: sim vs obs vs phases.
 
-Usage: python scripts/profile_step.py [--num-envs 1024] [--steps 20]
-Prints a small table of ms/step for each variant.
+Usage: python scripts/profile_step.py [--num-envs 4096] [--steps 50]
+Prints one line per variant: name, wall ms/step, env-steps/s.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
+from metta_tpu.builder.envs import make_combat
+from metta_tpu.engine.env import MettaGridEnv
+from metta_tpu.engine.step_batched import step_env_batched
 
-def timeit(fn, state, key, steps, label, reps=3):
-    out = fn(state, key, steps)
+
+def time_scan(fn, vstate, key, steps, num_envs, A, n_actions):
+    def body(carry, _):
+        vs, key, acc = carry
+        key, k = jax.random.split(key)
+        actions = jax.random.randint(k, (num_envs, A), 0, n_actions, dtype=jnp.int32)
+        vs, acc2 = fn(vs, actions)
+        return (vs, key, acc + acc2), ()
+
+    def run(vs, key):
+        (vs, key, acc), _ = jax.lax.scan(body, (vs, key, jnp.int32(0)), None, length=steps)
+        return vs, key, acc
+
+    run_jit = jax.jit(run)
+    out = run_jit(vstate, key)
     jax.block_until_ready(out)
-    walls = []
-    for _ in range(reps):
+    vs, key = out[0], out[1]
+    trials = []
+    for _ in range(3):
         t0 = time.time()
-        out = fn(state, key, steps)
+        out = run_jit(vs, key)
         jax.block_until_ready(out)
-        walls.append(time.time() - t0)
-    dt = min(walls) / steps
-    print(f"{label:24s} {dt*1e3:9.2f} ms/step")
-    return dt
+        vs, key = out[0], out[1]
+        trials.append(time.time() - t0)
+    return min(trials)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--num-envs", type=int, default=1024)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--num-envs", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--agents", type=int, default=24)
+    ap.add_argument("--only", type=str, default=None)
     args = ap.parse_args()
-
-    from metta_tpu.builder.envs import make_combat
-    from metta_tpu.engine.env import MettaGridEnv
-    from metta_tpu.engine import step_batched as SB
-    from metta_tpu.engine.obs import render_observations
 
     cfg = make_combat(num_agents=args.agents)
     cfg.game.map_builder.seed = 1234
     env = MettaGridEnv(cfg, num_envs=args.num_envs, desync_episodes=True,
                        track_stats=False, step_mode="batched")
     A = env.num_agents
-    E = args.num_envs
     n_actions = env.compiled.n_actions
     tables = env.tables
+    E = args.num_envs
 
-    key0 = jax.random.PRNGKey(0)
-    vstate, obs = env.reset_fn(key0)
+    key = jax.random.PRNGKey(0)
+    vstate, obs = env.reset_fn(key)
+    print(f"map {tables.height}x{tables.width} agents {A} envs {E} "
+          f"obs_tokens {tables.num_obs_tokens} "
+          f"NA {tables.n_assembler_slots} NC {tables.n_chest_slots} "
+          f"P {tables.n_protocols} R {tables.num_resources} V {tables.num_vibes}")
 
-    def scan_full(vstate, key, n):
-        def body(carry, _):
-            vstate, key, acc = carry
-            key, k = jax.random.split(key)
-            actions = jax.random.randint(k, (E, A), 0, n_actions, dtype=jnp.int32)
-            vstate, obs, rew, done, trunc = env.step_core(vstate, actions)
-            return (vstate, key, acc + jnp.sum(obs.astype(jnp.int32))), None
+    def full(vs, actions):
+        vs2, obs, rew, done, trunc = env.step_core(vs, actions)
+        return vs2, jnp.sum(obs.astype(jnp.int32))
 
-        carry, _ = jax.lax.scan(body, (vstate, key, jnp.int32(0)), None, length=n)
-        return carry
+    def sim_only(vs, actions):
+        envst, rew_at_obs = jax.vmap(
+            lambda s, a: step_env_batched(s, a, tables, render=False)
+        )(vs.env, actions)
+        vs2 = vs.replace(env=envst)
+        return vs2, jnp.sum(rew_at_obs[0].astype(jnp.int32))
 
-    def scan_obs_only(vstate, key, n):
-        # render obs each iter from the SAME state (state threaded untouched)
-        def body(carry, _):
-            vstate, key, acc = carry
-            obs = jax.vmap(
-                lambda s: render_observations(s, tables, s.executed_action, s.reward)
-            )(vstate.env)
-            return (vstate, key, acc + jnp.sum(obs.astype(jnp.int32))), None
+    def sim_defer(vs, actions):
+        envst, rew_at_obs = jax.vmap(
+            lambda s, a: step_env_batched(s, a, tables, render="defer")
+        )(vs.env, actions)
+        vs2 = vs.replace(env=envst)
+        return vs2, jnp.sum(rew_at_obs.astype(jnp.int32))
 
-        carry, _ = jax.lax.scan(body, (vstate, key, jnp.int32(0)), None, length=n)
-        return carry
+    def obs_only(vs, actions):
+        from metta_tpu.ops.obs_render2 import render_obs_pallas2
+        obs = render_obs_pallas2(vs.env, tables, vs.env.executed_action,
+                                 vs.env.reward, eps=1)
+        return vs, jnp.sum(obs.astype(jnp.int32))
 
-    def scan_sim_only(vstate, key, n):
-        # full batched step but with the obs render output replaced by a cheap
-        # function of state (so sim work can't be DCE'd but render is absent)
-        import metta_tpu.engine.step_batched as sb
-
-        def body(carry, _):
-            vstate, key, acc = carry
-            key, k = jax.random.split(key)
-            actions = jax.random.randint(k, (E, A), 0, n_actions, dtype=jnp.int32)
-            env_s, _obs = jax.vmap(lambda s, a: sb.step_env_batched_sim(s, a, tables))(
-                vstate.env, actions
-            )
-            vstate = vstate.replace(env=env_s)
-            acc = acc + jnp.sum(env_s.agent_r) + jnp.sum(env_s.agent_inv) \
-                + jnp.sum(env_s.reward).astype(jnp.int32)
-            return (vstate, key, acc), None
-
-        carry, _ = jax.lax.scan(body, (vstate, key, jnp.int32(0)), None, length=n)
-        return carry
-
-    full = jax.jit(scan_full, static_argnums=(2,))
-    obs_only = jax.jit(scan_obs_only, static_argnums=(2,))
-    sim_only = jax.jit(scan_sim_only, static_argnums=(2,))
-
-    print(f"E={E} A={A} backend={jax.default_backend()}")
-    t_full = timeit(full, vstate, key0, args.steps, "full step")
-    t_obs = timeit(obs_only, vstate, key0, args.steps, "obs render only")
-    if hasattr(SB, "step_env_batched_sim"):
-        t_sim = timeit(sim_only, vstate, key0, args.steps, "sim only (no render)")
-    print(f"env-steps/s (full): {E / t_full:,.0f}")
+    variants = {"full": full, "sim_defer": sim_defer, "sim_only": sim_only,
+                "obs_only": obs_only}
+    if args.only:
+        variants = {k: v for k, v in variants.items() if k in args.only.split(",")}
+    for name, fn in variants.items():
+        dt = time_scan(fn, vstate, key, args.steps, E, A, n_actions)
+        per = dt / args.steps
+        print(f"{name:10s} {per * 1e3:8.2f} ms/step  {E * args.steps / dt:12.0f} env-steps/s")
 
 
 if __name__ == "__main__":
