@@ -523,10 +523,13 @@ def _gather_rows(idx, valid, rows, A):
 def _assembler_phase(state, tables, is_winner, sidx, lims):
     """All claimed assemblers fire simultaneously (vectorized over stations).
 
-    Fully gather/scatter-free: the claim, neighbor resolution, protocol
-    lookup, inventory reads, and delta write-back are one-hot reductions and
-    matmuls over the full station axis (TPU scatters serialize per index, so
-    the previous compact-then-scatter formulation was the phase's bottleneck).
+    Gather/scatter-free: the claim, neighbor resolution, protocol lookup,
+    inventory reads, and delta write-back are one-hot reductions and matmuls.
+    Since at most A agents can claim a station per step, the station axis is
+    first *compacted* from NA slots to K = min(A, NA) claimed slots (one-hot
+    compaction matmuls — rank-of-claimed, no data-dependent gathers), so the
+    heavy per-station machinery (neighbor windows, shared_update passes —
+    the [E, K, 8, R] intermediates) runs over K rows instead of NA.
     """
     A = tables.num_agents
     R = tables.num_resources
@@ -540,14 +543,37 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
     claim = jnp.max(jnp.where(soh, jnp.arange(A)[:, None], -1), axis=0)    # [NA]
     claimed = claim >= 0
 
+    # ---- compact claimed stations: NA slots -> K = min(A, NA) rows ----
+    K = min(A, NA)
+    crank = jnp.cumsum(claimed.astype(jnp.int32)) - 1                      # [NA]
+    # coh[k, s] = station s is the k-th claimed station
+    coh = (crank[None, :] == jnp.arange(K)[:, None]) & claimed[None, :]    # [K, NA]
+
+    def cgather(x_na, fill=0):
+        """x[NA] -> compacted [K] (unclaimed rows get ``fill``)."""
+        picked = jnp.sum(jnp.where(coh, x_na[None, :], 0), axis=1)
+        if fill == 0:
+            return picked.astype(x_na.dtype)
+        any_row = jnp.any(coh, axis=1)
+        return jnp.where(any_row, picked, fill).astype(x_na.dtype)
+
+    c_station = cgather(jnp.arange(NA, dtype=jnp.int32))                   # [K]
+    c_rowvalid = jnp.any(coh, axis=1)                                      # [K]
+
     # per-station type properties (one-hot LUT over the NT types)
     NT = int(tables.type_max_uses.shape[0])
-    max_uses = _lut(tables.type_max_uses, state.asm_type, NT)
-    allow_partial = _lut_bool(tables.type_allow_partial, state.asm_type, NT)
+    c_type = cgather(state.asm_type)
+    max_uses = _lut(tables.type_max_uses, c_type, NT)
+    allow_partial = _lut_bool(tables.type_allow_partial, c_type, NT)
 
-    # actor position/fields per station (one-hot over agents)
-    actor_r = jnp.sum(jnp.where(soh, state.agent_r[:, None], 0), axis=0)
-    actor_c = jnp.sum(jnp.where(soh, state.agent_c[:, None], 0), axis=0)
+    # actor position/fields per claimed station (compose the two one-hots:
+    # agent -> station -> compact row)
+    aoh = jax.lax.dot_general(
+        coh.astype(jnp.float32), soh.T.astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) > 0.5                                                                # [K, A]
+    actor_r = jnp.sum(jnp.where(aoh, state.agent_r[None, :], 0), axis=1)
+    actor_c = jnp.sum(jnp.where(aoh, state.agent_c[None, :], 0), axis=1)
 
     offs = jnp.array(_NEIGHBOR_OFFS, jnp.int32)
 
@@ -662,9 +688,11 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
     (ok_v, in_idx, in_val, in_d, out_idx, out_val, out_d, cooldown_v) = jax.vmap(
         per_station
     )(
-        claim, claimed, state.asm_valid, state.asm_type, state.asm_r, state.asm_c,
-        state.asm_uses, state.asm_cooldown_end, state.asm_cooldown_duration,
-        state.asm_clipped, state.asm_unclip_proto, max_uses, allow_partial,
+        cgather(claim), c_rowvalid, cgather(state.asm_valid),
+        c_type, cgather(state.asm_r), cgather(state.asm_c),
+        cgather(state.asm_uses), cgather(state.asm_cooldown_end),
+        cgather(state.asm_cooldown_duration), cgather(state.asm_clipped),
+        cgather(state.asm_unclip_proto), max_uses, allow_partial,
         actor_r, actor_c,
     )
 
@@ -682,16 +710,22 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         created = jnp.sum(jnp.maximum(out_d, 0), axis=(0, 1))
         state = state.replace(game_asm_created=state.game_asm_created + created)
 
-    unclip_now = ok_v & state.asm_clipped
+    # scatter compacted per-station results back to the full NA axis
+    def cscatter(v_k):
+        return jnp.sum(jnp.where(coh, v_k[:, None], 0), axis=0)
+
+    ok_na = jnp.any(coh & ok_v[:, None], axis=0)                           # [NA]
+    cooldown_na = cscatter(cooldown_v)
+    unclip_now = ok_na & state.asm_clipped
     state = state.replace(
-        asm_cooldown_duration=jnp.where(ok_v, cooldown_v, state.asm_cooldown_duration),
-        asm_cooldown_end=jnp.where(ok_v, state.step + cooldown_v, state.asm_cooldown_end),
-        asm_uses=state.asm_uses + jnp.where(ok_v & ~state.asm_clipped, 1, 0),
+        asm_cooldown_duration=jnp.where(ok_na, cooldown_na, state.asm_cooldown_duration),
+        asm_cooldown_end=jnp.where(ok_na, state.step + cooldown_na, state.asm_cooldown_end),
+        asm_uses=state.asm_uses + jnp.where(ok_na & ~state.asm_clipped, 1, 0),
         asm_clipped=jnp.where(unclip_now, False, state.asm_clipped),
         asm_unclip_proto=jnp.where(unclip_now, -1, state.asm_unclip_proto),
     )
     # per-agent success: their claimed station fired (one-hot over stations)
-    agent_success = is_winner & jnp.any(soh & ok_v[None, :], axis=1)
+    agent_success = is_winner & jnp.any(soh & ok_na[None, :], axis=1)
     return state, agent_success
 
 

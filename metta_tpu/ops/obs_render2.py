@@ -10,10 +10,9 @@ whole-array ops:
 - All per-(agent, window-cell) quantities live in ONE flat ``[A*Sp, ·]``
   layout (``Sp = 128``-aligned cells per agent) so masks, one-hots and
   lookups are single whole-array ops, not A-loops.
-- Agent occupancy is resolved by *position match* against the A agent cell
-  ids (``[A*Sp, A]`` compare + a tiny GEMM) — cheaper than any grid read.
-- Static objects (walls/assemblers/chests) are read from the static block
-  grid with a row-select GEMM + masked column reduce.
+- Agents AND static objects (walls/assemblers/chests) are read from one
+  combined block grid (prep merges ``agent_grid`` over the static blocks)
+  with a single row-select GEMM + masked column reduce per env.
 - The center-out emission order (``packed_coordinate.hpp:74-140``) is baked
   into the token-count prefix-sum matrix (``M[s',s] = rank(s') < rank(s)``),
   so windows stay row-major and nothing is physically permuted.
@@ -45,7 +44,7 @@ SP = 128          # 128-aligned per-agent cell block (S = window cells <= SP)
 AP = 32           # sublane-aligned per-env agent rows in the rm/acc layout
 
 
-def _obs2_kernel(sb_ref, comp_ref, apos_ref, rc_ref, gcnt_ref, g3_ref,
+def _obs2_kernel(sb_ref, comp_ref, rc_ref, gcnt_ref, g3_ref,
                  mperm_ref, stat_ref, bsel_ref, lane_ref, tlane_ref,
                  out_ref, *, A, S, T, K, NB, Hp, Wp, Gp, WIN, EPS, Tp):
     f32 = jnp.float32
@@ -70,7 +69,6 @@ def _obs2_kernel(sb_ref, comp_ref, apos_ref, rc_ref, gcnt_ref, g3_ref,
     def one_env(e, rm, tot):
         sb = sb_ref[e]                                   # [Hp, Wp] bf16
         comp = comp_ref[e]                               # [NB, C] bf16
-        apos_row = apos_ref[e, :, 0][None, :]            # [1, A] f32
         rc_col = rc_ref[e]                               # [A, 2] f32
         gcnt_row = gcnt_ref[e, :, 0][None, :]            # [1, A] f32
         gcnt_col = gcnt_ref[e]                           # [A, 1] f32
@@ -82,30 +80,21 @@ def _obs2_kernel(sb_ref, comp_ref, apos_ref, rc_ref, gcnt_ref, g3_ref,
         )                                                # [F, 2]
         rows = rcb[:, 0:1] + drow                        # [F, 1] (pad << 0)
         cols = rcb[:, 1:2] + dcol
-        cell = rows * float(Wp) + cols                   # [F, 1]
 
-        # ---- window values: agents by position match, statics by GEMM ----
-        amatch = (cell == apos_row).astype(bf16)         # [F, A]
-        aid1 = jax.lax.broadcasted_iota(
-            jnp.int32, (A, 1), 0
-        ).astype(bf16) + 1.0                             # [A, 1] (1 VREG)
-        a_plus1 = jax.lax.dot_general(
-            amatch, aid1, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )                                                # [F, 1]
+        # ---- window values: one combined agent+static grid read (GEMM) ----
+        # (prep merges agent occupancy into the block grid, so one row-select
+        #  GEMM + masked column reduce yields the block id for every window
+        #  cell — no separate agent position match)
         row_oh = (rows == lane[:, :Hp]).astype(bf16)     # [F, Hp]
         tmp_sb = jax.lax.dot_general(
             row_oh, sb, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )                                                # [F, Wp]
         colmask = cols == lane[:, :Wp]                   # [F, Wp]
-        sblock = jax.lax.dot_general(
+        block_idx = jax.lax.dot_general(
             jnp.where(colmask, tmp_sb, 0.0).astype(bf16), ones_wp,
             (((1,), (0,)), ((), ())), preferred_element_type=f32,
         )                                                # [F, 1]
-        block_idx = jnp.where(a_plus1 > 0.0, a_plus1, sblock)
-        # (off_agent = 1 is baked in: a_plus1 IS block id 1+a, and the static
-        #  grid already carries absolute block indices)
 
         # ---- per-cell token triples + counts: one [F, NB] one-hot GEMM ----
         boh = (block_idx == lane[:, :NB]).astype(bf16)
@@ -115,9 +104,9 @@ def _obs2_kernel(sb_ref, comp_ref, apos_ref, rc_ref, gcnt_ref, g3_ref,
         counts = ctk[:, 2 * K : 2 * K + 1]               # [F, 1]
 
         # ---- scan-order prefix sum, all agents at once ----
-        counts_lane = jnp.concatenate(
-            [counts[a * SP : (a + 1) * SP] for a in range(A)], axis=1
-        )                                                # [SP, A]
+        # [F, 1] -> [A, SP] -> [SP, A]: one sublane-split relayout + one
+        # transpose (the 24-slice concat this replaces cost ~7% of the kernel)
+        counts_lane = jnp.reshape(counts, (A, SP)).T     # [SP, A]
         start_lane = jax.lax.dot_general(
             mperm, counts_lane, (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
@@ -137,7 +126,8 @@ def _obs2_kernel(sb_ref, comp_ref, apos_ref, rc_ref, gcnt_ref, g3_ref,
             [ctk_loc, ctk[:, : 2 * K]], axis=1
         ).astype(bf16)                                   # [F, 3K]
 
-        # ---- per-agent slot scatter (operands differ per agent) ----
+        # ---- per-agent slot scatter (operands differ per agent; a batched
+        # 3D dot_general was measured SLOWER than this unrolled loop) ----
         for a in range(A):
             start_a = start_lane[:, a : a + 1]                     # [SP, 1]
             u = (start_a == tlane).astype(bf16)                    # [SP, Tp]
@@ -155,9 +145,12 @@ def _obs2_kernel(sb_ref, comp_ref, apos_ref, rc_ref, gcnt_ref, g3_ref,
         for p in range(3):
             acc = jnp.zeros((R, Tp), f32)
             for k in range(K):
-                row = rm[p * K + k].astype(f32)          # [R, Tp]
+                row = rm[p * K + k]                      # [R, Tp]
                 shifted = pltpu.roll(row, k, 1)
-                acc = acc + jnp.where(tlane >= float(k), shifted, 0.0)
+                if T > Tp - K:
+                    # wrapped lanes could carry real tokens — mask them
+                    shifted = jnp.where(tlane >= float(k), shifted, 0.0)
+                acc = acc + shifted
             acci = acc.astype(jnp.int32)
             for e in range(EPS):
                 g = g3_ref[e, p].astype(jnp.int32)
@@ -190,7 +183,7 @@ def _C(K):
     static_argnames=("A", "S", "T", "K", "NB", "Hp", "Wp", "Gp", "WIN",
                      "EPS", "Tp", "interpret"),
 )
-def _call_kernel2(sb, comp_plus, apos, rc, gcnt, g3, mperm, stat, bsel,
+def _call_kernel2(sb, comp_plus, rc, gcnt, g3, mperm, stat, bsel,
                   lane, tlane,
                   *, A, S, T, K, NB, Hp, Wp, Gp, WIN, EPS, Tp,
                   interpret=False):
@@ -210,8 +203,6 @@ def _call_kernel2(sb, comp_plus, apos, rc, gcnt, g3, mperm, stat, bsel,
             pl.BlockSpec((EPS, Hp, Wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((EPS, NB, _C(K)), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((EPS, A, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((EPS, A, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -238,7 +229,7 @@ def _call_kernel2(sb, comp_plus, apos, rc, gcnt, g3, mperm, stat, bsel,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(sb, comp_plus, apos, rc, gcnt, g3, mperm, stat, bsel, lane, tlane)
+    )(sb, comp_plus, rc, gcnt, g3, mperm, stat, bsel, lane, tlane)
 
 
 def _rank_tril(tables) -> np.ndarray:
@@ -276,13 +267,19 @@ def _static_cols(tables, A) -> np.ndarray:
 
 
 def render_obs_pallas2(state_b, tables, executed_actions_b, rewards_b,
-                       eps: int = 4, interpret: bool = False):
+                       eps: int = 4, interpret: bool = False,
+                       stacked_tables=None, task_id=None):
     """Batched obs render → [E, A, T, 3] uint8 (byte-identical to obs_mm).
 
     Takes the batched env state directly: the cheap per-env prep (block
     tables, global tokens, static block grid) runs as vmapped XLA, then one
     pallas_call over an env grid does the render. ``eps`` = envs per grid
     step (must divide E).
+
+    Multi-task mode (``stacked_tables`` + ``task_id [E]``): the per-env prep
+    gathers each env's table rows from the K-stacked task set
+    (``engine/taskset.py``); the kernel itself only depends on the shared
+    statics (obs geometry), so one compiled render serves every task.
     """
     from metta_tpu.engine.obs import (
         build_agent_blocks,
@@ -303,7 +300,7 @@ def render_obs_pallas2(state_b, tables, executed_actions_b, rewards_b,
     NT = tables.n_object_types
     assert WIN * WIN <= SP and A <= AP
 
-    def prep(state, ea, rw):
+    def prep(state, ea, rw, tables=tables):
         agent_blocks, agent_ok = build_agent_blocks(state, tables)
         wall_blocks, wall_ok = build_wall_blocks(tables)
         if tables.has_assemblers:
@@ -339,21 +336,33 @@ def render_obs_pallas2(state_b, tables, executed_actions_b, rewards_b,
                           off_chest + state.static_idx, 0),
             ),
         )
+        # merge agent occupancy (agent_grid holds 1+agent_id, matching block
+        # ids 1..A): one combined grid read in the kernel replaces the
+        # position-match machinery
+        sb = jnp.where(state.agent_grid > 0, state.agent_grid, sb)
         sbp = jnp.pad(sb, ((ohr, ohr), (owr, owr))).astype(jnp.bfloat16)
 
         g_count, g_loc, g_feat, g_val = _global_tokens_all(
             state, tables, ea, rw, H // 2, W // 2, ohr, owr
         )
         g3 = jnp.stack([g_loc, g_feat, g_val], axis=0)     # [3, A, Gp]
-        apos = (state.agent_r + ohr) * Wp + (state.agent_c + owr)
         rc = jnp.stack([state.agent_r, state.agent_c], axis=1)   # [A, 2]
-        return (sbp, comp_plus, apos.astype(jnp.float32)[:, None],
+        return (sbp, comp_plus,
                 rc.astype(jnp.float32), g_count.astype(jnp.float32)[:, None],
                 g3)
 
-    sbp, comp_plus, apos, rc, gcnt, g3 = jax.vmap(prep)(
-        state_b, executed_actions_b, rewards_b
-    )
+    if stacked_tables is not None:
+        def prep_mt(state, ea, rw, tid):
+            te = jax.tree.map(lambda x: x[tid], stacked_tables)
+            return prep(state, ea, rw, tables=te)
+
+        sbp, comp_plus, rc, gcnt, g3 = jax.vmap(prep_mt)(
+            state_b, executed_actions_b, rewards_b, task_id
+        )
+    else:
+        sbp, comp_plus, rc, gcnt, g3 = jax.vmap(prep)(
+            state_b, executed_actions_b, rewards_b
+        )
     NB = int(comp_plus.shape[1])
     Gp = int(g3.shape[3])
     Tp = ((T + 127) // 128) * 128
@@ -368,7 +377,7 @@ def render_obs_pallas2(state_b, tables, executed_actions_b, rewards_b,
     tlane = jnp.arange(Tp, dtype=jnp.float32)[None, None, :]
 
     out = _call_kernel2(
-        sbp, comp_plus, apos, rc, gcnt, g3, mperm, stat, bsel, lane, tlane,
+        sbp, comp_plus, rc, gcnt, g3, mperm, stat, bsel, lane, tlane,
         A=A, S=WIN * WIN, T=T, K=K, NB=NB, Hp=Hp, Wp=Wp, Gp=Gp, WIN=WIN,
         EPS=eps, Tp=Tp, interpret=interpret,
     )                                                      # [E, 3, A, T]
