@@ -328,6 +328,19 @@ class Curriculum:
         task._num_scheduled += 1
         return task
 
+    def active_tasks(self) -> List[CurriculumTask]:
+        """The full active pool (fills to num_active_tasks). Used by the
+        multi-task trainer path, which samples per env per episode on-device
+        (CurriculumEnv parity — engine/taskset.py)."""
+        while len(self._tasks) < self.cfg.num_active_tasks:
+            self._spawn_task()
+        return list(self._tasks.values())
+
+    def task_weights(self, task_ids: List[int]) -> List[float]:
+        """Sampling weights for the given tasks (algorithm scores)."""
+        scores = self.algorithm.score_tasks(task_ids)
+        return [max(scores.get(t, 0.0), 1e-9) for t in task_ids]
+
     def update_task_performance(self, task_id: int, score: float) -> None:
         task = self._tasks.get(task_id)
         if task is not None:

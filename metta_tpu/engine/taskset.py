@@ -71,8 +71,9 @@ def build_task_set(
         compiled, init = compile_game(cfg.game, game_map)
         t = Tables(compiled, track_stats=track_stats)
         tables_list.append(t)
-        templates.append(make_reset_template(t, init)[0])
-        obs1s.append(make_reset_template(t, init)[1])
+        tmpl, obs1 = make_reset_template(t, init)
+        templates.append(tmpl)
+        obs1s.append(obs1)
         clip0.append(jnp.asarray(init["asm_start_clipped"]))
     t0 = jax.tree.structure(tables_list[0])
     shapes0 = [x.shape for x in jax.tree.leaves(tables_list[0])]
@@ -295,3 +296,9 @@ class MultiTaskEnv:
     @property
     def state(self) -> MTVecState:
         return self._state
+
+    @property
+    def compiled(self):
+        """CompiledConfig of task 0 (action space / obs metadata — shared
+        across the set by the compatibility contract)."""
+        return self.tables._cfg

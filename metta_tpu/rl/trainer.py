@@ -93,20 +93,36 @@ class Trainer:
 
     def __init__(
         self,
-        env_cfg: MettaGridConfig,
+        env_cfg: Optional[MettaGridConfig],
         trainer_cfg: Optional[TrainerConfig] = None,
         policy_cfg: Optional[ViTConfig] = None,
         num_envs: Optional[int] = None,
+        task_cfgs: Optional[list] = None,
     ):
+        """``task_cfgs``: train over a task *set* instead of one env config —
+        per-env per-episode curriculum tasks with runtime sampling weights
+        (engine/taskset.py; reference CurriculumEnv parity). The task-set
+        data (tables/templates/weights) is threaded through the jitted update
+        as a traced argument, so weight updates and task-slot replacement
+        never recompile."""
         self.cfg = trainer_cfg or TrainerConfig()
         cfg = self.cfg
-        A = env_cfg.game.num_agents
+        self.multi_task = task_cfgs is not None
+        base_cfg = task_cfgs[0] if self.multi_task else env_cfg
+        A = base_cfg.game.num_agents
         T = cfg.bptt_horizon
         if num_envs is None:
             num_envs = cfg.num_envs or max(cfg.batch_size // (T * A), 1)
         # training env: stat accumulators off unless a reward reads them
-        self.env = MettaGridEnv(env_cfg, num_envs=num_envs, track_stats=False,
-                                step_mode=cfg.env_step_mode)
+        if self.multi_task:
+            from metta_tpu.engine.taskset import MultiTaskEnv
+
+            self.env = MultiTaskEnv(task_cfgs, num_envs=num_envs,
+                                    track_stats=False,
+                                    step_mode=cfg.env_step_mode)
+        else:
+            self.env = MettaGridEnv(env_cfg, num_envs=num_envs, track_stats=False,
+                                    step_mode=cfg.env_step_mode)
         self.E = num_envs
         self.A = A
         self.B = num_envs * A
@@ -172,7 +188,10 @@ class Trainer:
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         key, k_env, k_par, k_aux = jax.random.split(key, 4)
-        vstate, obs = self.env.reset_fn(k_env)
+        if self.multi_task:
+            vstate, obs = self.env._reset_fn(k_env, self.env.tsdata)
+        else:
+            vstate, obs = self.env.reset_fn(k_env)
         obs_flat = obs.reshape(self.B, *obs.shape[2:])
         core = self.policy.initial_state(self.B)
         params = self.policy.init(k_par, obs_flat[: self.B], core)
@@ -222,7 +241,7 @@ class Trainer:
             return t
         return jnp.zeros((self.B,), jnp.float32)
 
-    def _rollout(self, ts: TrainState):
+    def _rollout(self, ts: TrainState, tsdata=None):
         E, A, B, K = self.E, self.A, self.B, self.policy_cfg.max_tokens
         use_teacher = self._record_teacher and self.teacher is not None
         quantile = self.cfg.losses.quantile_ppo_critic.enabled
@@ -253,9 +272,15 @@ class Trainer:
             logp = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), action[:, None], axis=1
             )[:, 0]
-            vstate2, obs2, rew, done, trunc = self.env.step_core(
-                vstate, action.reshape(E, A).astype(jnp.int32)
-            )
+            env_action = action.reshape(E, A).astype(jnp.int32)
+            if self.multi_task:
+                vstate2, obs2, rew, done, trunc = self.env.step_core(
+                    vstate, env_action, tsdata
+                )
+            else:
+                vstate2, obs2, rew, done, trunc = self.env.step_core(
+                    vstate, env_action
+                )
             ended = (done | trunc).astype(jnp.float32)           # [E]
             dn = jnp.repeat(ended, A)                            # [B]
             zero_state = lambda s: jax.tree.map(  # noqa: E731
@@ -578,9 +603,10 @@ class Trainer:
         if active_epochs is None:
             active_epochs = self.cfg.update_epochs
         active_epochs = jnp.asarray(active_epochs, jnp.int32)
+        tsdata = self.env.tsdata if self.multi_task else None
         if self.cfg.rollout_chunks > 1:
-            return self._update_chunked(ts, hp, active_epochs)
-        return self._update_jit(ts, hp, active_epochs)
+            return self._update_chunked(ts, hp, active_epochs, tsdata)
+        return self._update_jit(ts, hp, active_epochs, tsdata)
 
     # -- chunked path: several shorter device programs per update (see
     # TrainerConfig.rollout_chunks) --------------------------------------
@@ -592,11 +618,11 @@ class Trainer:
         assert self.T % n_chunks == 0, "bptt_horizon must divide rollout_chunks"
         Tc = self.T // n_chunks
 
-        def rollout_chunk(ts):
+        def rollout_chunk(ts, tsdata=None):
             saved_T = self.T
             self.T = Tc
             try:
-                ts, traj = self._rollout(ts)
+                ts, traj = self._rollout(ts, tsdata)
             finally:
                 self.T = saved_T
             return ts, traj
@@ -609,20 +635,21 @@ class Trainer:
             jax.jit(learn, donate_argnums=(1,)),
         )
 
-    def _update_chunked(self, ts: TrainState, hp, active_epochs):
+    def _update_chunked(self, ts: TrainState, hp, active_epochs, tsdata=None):
         self._ensure_chunked_jits()
         roll_jit, learn_jit = self._chunk_jits
         chunks = []
         for _ in range(self.cfg.rollout_chunks):
-            ts, traj = roll_jit(ts)
+            ts, traj = roll_jit(ts, tsdata)
             chunks.append(traj)
         traj = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
         return learn_jit(ts, traj, hp, active_epochs)
 
-    def _update(self, ts: TrainState, hp, active_epochs=None, axis_name=None):
+    def _update(self, ts: TrainState, hp, active_epochs=None, tsdata=None,
+                axis_name=None):
         if active_epochs is None:
             active_epochs = jnp.int32(self.cfg.update_epochs)
-        ts, traj = self._rollout(ts)
+        ts, traj = self._rollout(ts, tsdata)
         return self._learn_phase(ts, traj, hp, active_epochs, axis_name)
 
     def _learn_phase(self, ts: TrainState, traj, hp, active_epochs=None,

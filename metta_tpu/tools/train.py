@@ -87,17 +87,32 @@ class TrainTool(Tool):
         total = self.total_timesteps or self.trainer.total_timesteps
 
         curriculum = self._curriculum
+        arch = self.policy.to_arch()
+        task = None
+        mt_tasks = None
         if curriculum is not None:
-            task = curriculum.get_task()
-            env_cfg = task.get_env_cfg()
+            # Per-env per-episode curriculum (reference CurriculumEnv parity):
+            # the whole active pool becomes a task set sampled on-device;
+            # weight updates / slot eviction are runtime data (no recompiles).
+            mt_tasks = curriculum.active_tasks()
+            try:
+                trainer = Trainer(
+                    None, self.trainer, arch,
+                    task_cfgs=[t.get_env_cfg() for t in mt_tasks],
+                )
+                trainer.env.set_weights(
+                    curriculum.task_weights([t.task_id for t in mt_tasks])
+                )
+            except ValueError:
+                # heterogeneous shape classes: fall back to whole-batch swaps
+                mt_tasks = None
+                task = curriculum.get_task()
+                trainer = Trainer(task.get_env_cfg(), self.trainer, arch)
         else:
-            task = None
             env_cfg = self.env
             if env_cfg is None:
                 raise SystemExit("TrainTool needs env= or a curriculum")
-
-        arch = self.policy.to_arch()
-        trainer = Trainer(env_cfg, self.trainer, arch)
+            trainer = Trainer(env_cfg, self.trainer, arch)
         ts = trainer.init_state()
         restored, meta = cm.load_trainer_state(ts)
         update_idx = 0
@@ -141,8 +156,40 @@ class TrainTool(Tool):
                 cm.save_policy(ts.params, arch, epoch=update_idx)
                 cm.save_trainer_state(ts, update_idx, extras={"agent_steps": agent_steps})
 
-            if task is not None:
-                # curriculum scoring: mean per-step reward of the last batch
+            if mt_tasks is not None:
+                # per-task scoring from the envs' last finished episodes
+                # (mean per-step reward, as the reference scores completions)
+                vst = ts.vstate
+                ep_len = np.asarray(vst.episode_len)
+                ep_task = np.asarray(vst.last_episode_task)
+                ep_rew = np.asarray(vst.last_episode_reward).mean(axis=1)
+                for k, t in enumerate(mt_tasks):
+                    m = (ep_task == k) & (ep_len > 0)
+                    if m.any():
+                        score = float((ep_rew[m] / np.maximum(ep_len[m], 1)).mean())
+                        curriculum.update_task_performance(t.task_id, score)
+                if self.curriculum_interval and update_idx % self.curriculum_interval == 0:
+                    # sync evicted slots + refresh sampling weights — all
+                    # data-only (Tables pytree), zero recompiles
+                    live = {t.task_id: t for t in curriculum.active_tasks()}
+                    in_slots = {t.task_id for t in mt_tasks}
+                    fresh_pool = [t for tid, t in live.items() if tid not in in_slots]
+                    for k, t in enumerate(mt_tasks):
+                        if t.task_id not in live and fresh_pool:
+                            new_t = fresh_pool.pop()
+                            try:
+                                trainer.env.set_task(k, new_t.get_env_cfg())
+                                mt_tasks[k] = new_t
+                            except ValueError:
+                                logger.warning(
+                                    "curriculum task %d not shape-compatible; keeping slot",
+                                    new_t.task_id,
+                                )
+                    trainer.env.set_weights(
+                        curriculum.task_weights([t.task_id for t in mt_tasks])
+                    )
+            elif task is not None:
+                # fallback path: whole-batch task, swapped at update granularity
                 curriculum.update_task_performance(
                     task.task_id, float(metrics["reward_mean"])
                 )

@@ -104,3 +104,27 @@ def test_incompatible_tasks_rejected():
     b.game.map_builder.seed = 1
     with pytest.raises(ValueError, match="compatible"):
         build_task_set([a, b])
+
+
+def test_trainer_multi_task_update_and_no_recompile():
+    """Trainer over a task set: finite losses; weight/slot mutation data-only."""
+    from metta_tpu.models.vit import ViTConfig
+    from metta_tpu.rl.config import TrainerConfig
+    from metta_tpu.rl.trainer import Trainer
+
+    cfgs = [_cfg(seed=1), _cfg(seed=2)]
+    tc = TrainerConfig(num_envs=4, bptt_horizon=8,
+                       batch_size=4 * 4 * 8, minibatch_size=64)
+    arch = ViTConfig(latent_dim=16, actor_hidden=16, critic_hidden=16,
+                     max_tokens=16, core_num_latents=2, core_num_heads=2)
+    tr = Trainer(None, tc, arch, task_cfgs=cfgs)
+    ts = tr.init_state(0)
+    ts, m = tr.update(ts)
+    assert np.isfinite(float(m["policy_loss"]))
+    assert np.isfinite(float(m["reward_mean"]))
+    n0 = tr._update_jit._cache_size()
+    tr.env.set_weights([0.2, 0.8])
+    ts, m = tr.update(ts)
+    tr.env.set_task(1, _cfg(seed=5, heart_w=0.3))
+    ts, m = tr.update(ts)
+    assert tr._update_jit._cache_size() == n0, "task-set mutation must not recompile"
