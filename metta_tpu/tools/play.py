@@ -23,6 +23,7 @@ class PlayTool(Tool):
     steps: int = 100
     fps: float = 5.0
     seed: int = 0
+    interactive: bool = False  # raw-tty miniscope (pause/camera/manual control)
 
     def invoke(self) -> int:
         import numpy as np
@@ -42,6 +43,11 @@ class PlayTool(Tool):
         else:
             policy = RandomPolicy(env.compiled.n_actions, seed=self.seed)
         renderer = MiniscopeRenderer(env)
+        import sys
+
+        if self.interactive and sys.stdin.isatty():
+            renderer.interactive_loop(policy, max_steps=self.steps)
+            return 0
         obs = env.reset(seed=self.seed)
         for _ in range(self.steps):
             actions = policy.step_batch(obs[0]).reshape(1, A)

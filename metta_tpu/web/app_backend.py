@@ -1,0 +1,311 @@
+"""Stats/eval HTTP backend — the observatory data plane.
+
+Parity: reference ``app_backend`` (FastAPI + Postgres,
+``app_backend/src/metta/app_backend/server.py`` + ``routes/``): the JSON API
+that the Observatory UI and eval workers consume. This environment has no
+FastAPI/uvicorn, so the server is a stdlib ``ThreadingHTTPServer`` over the
+episode stats DB (``utils/stats_writer.py`` sqlite) and the remote-eval task
+queue (``sim/remote.py``). Route shapes mirror the reference:
+
+- ``GET  /health``                       (health_server.py)
+- ``GET  /whoami``                       (auth.py — local stub)
+- ``GET  /stats/policies``               (stats_routes.py:379)
+- ``POST /stats/episodes/query``         (stats_routes.py:441)
+- ``GET  /stats/episodes/<id>/metrics``
+- ``GET  /sql/tables``                   (sql_routes.py:51)
+- ``GET  /sql/tables/<name>/schema``     (sql_routes.py:91)
+- ``POST /sql/query``                    (sql_routes.py:139 — SELECT-only,
+                                          row-capped)
+- ``GET  /dashboard/heatmap?metric=m``   (policy × sim matrix, the
+                                          observatory scorecard data)
+- ``POST /tasks`` / ``GET /tasks/available`` / ``POST /tasks/claim`` /
+  ``POST /tasks/<id>/finish`` / ``GET /tasks/<id>``  (eval_task_routes.py)
+
+The React frontends themselves (observatory/gridworks) are out of scope;
+this serves their data contracts locally.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sqlite3
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+from urllib.parse import parse_qs, urlparse
+
+MAX_QUERY_ROWS = 1000
+
+
+class AppBackend:
+    """Route logic, independent of the HTTP transport (unit-testable)."""
+
+    def __init__(self, stats_db_path: str, task_queue_dir: Optional[str] = None):
+        self.stats_db_path = stats_db_path
+        self.queue = None
+        if task_queue_dir is not None:
+            from metta_tpu.sim.remote import EvalTaskQueue
+
+            self.queue = EvalTaskQueue(task_queue_dir)
+
+    def _conn(self):
+        conn = sqlite3.connect(self.stats_db_path)
+        conn.row_factory = sqlite3.Row
+        return conn
+
+    # ---- stats routes -------------------------------------------------
+
+    def policies(self) -> dict:
+        with self._conn() as conn:
+            rows = conn.execute(
+                "SELECT policy_uri, COUNT(*) AS episodes, MAX(created_at) AS last_seen"
+                " FROM episodes GROUP BY policy_uri ORDER BY last_seen DESC"
+            ).fetchall()
+        return {"policies": [dict(r) for r in rows]}
+
+    def episodes_query(self, body: dict) -> dict:
+        where, args = [], []
+        for key in ("sim_suite", "sim_name", "policy_uri"):
+            if body.get(key):
+                where.append(f"{key} = ?")
+                args.append(body[key])
+        limit = min(int(body.get("limit", 100)), MAX_QUERY_ROWS)
+        sql = "SELECT * FROM episodes"
+        if where:
+            sql += " WHERE " + " AND ".join(where)
+        sql += " ORDER BY created_at DESC LIMIT ?"
+        args.append(limit)
+        with self._conn() as conn:
+            rows = [dict(r) for r in conn.execute(sql, args).fetchall()]
+        for r in rows:
+            if r.get("attributes"):
+                try:
+                    r["attributes"] = json.loads(r["attributes"])
+                except (TypeError, ValueError):
+                    pass
+        return {"episodes": rows}
+
+    def episode_metrics(self, episode_id: str) -> dict:
+        with self._conn() as conn:
+            agent = conn.execute(
+                "SELECT agent_id, metric, value FROM agent_metrics WHERE episode_id = ?",
+                (episode_id,),
+            ).fetchall()
+            game = conn.execute(
+                "SELECT metric, value FROM game_metrics WHERE episode_id = ?",
+                (episode_id,),
+            ).fetchall()
+        return {
+            "agent_metrics": [dict(r) for r in agent],
+            "game_metrics": [dict(r) for r in game],
+        }
+
+    # ---- sql routes ---------------------------------------------------
+
+    def tables(self) -> dict:
+        with self._conn() as conn:
+            rows = conn.execute(
+                "SELECT name FROM sqlite_master WHERE type='table' ORDER BY name"
+            ).fetchall()
+        return {"tables": [r["name"] for r in rows]}
+
+    def table_schema(self, name: str) -> dict:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError("invalid table name")
+        with self._conn() as conn:
+            rows = conn.execute(f"PRAGMA table_info({name})").fetchall()
+        if not rows:
+            raise KeyError(name)
+        return {
+            "table": name,
+            "columns": [{"name": r["name"], "type": r["type"]} for r in rows],
+        }
+
+    def sql_query(self, body: dict) -> dict:
+        q = (body.get("query") or "").strip()
+        # SELECT-only guard (sql_routes.py:139 validates read-only too)
+        if not re.match(r"(?is)^\s*(select|with)\b", q) or ";" in q.rstrip(";"):
+            raise ValueError("only a single SELECT statement is allowed")
+        with self._conn() as conn:
+            cur = conn.execute(q.rstrip(";"))
+            cols = [d[0] for d in cur.description]
+            rows = cur.fetchmany(MAX_QUERY_ROWS)
+        return {"columns": cols, "rows": [list(r) for r in rows]}
+
+    # ---- dashboard ----------------------------------------------------
+
+    def heatmap(self, metric: str) -> dict:
+        """policy_uri × sim_name matrix of the mean agent metric — the
+        observatory scorecard/heatmap data shape."""
+        with self._conn() as conn:
+            rows = conn.execute(
+                "SELECT e.policy_uri AS policy, e.sim_name AS sim,"
+                " AVG(m.value) AS value, COUNT(DISTINCT e.episode_id) AS episodes"
+                " FROM episodes e JOIN agent_metrics m"
+                " ON e.episode_id = m.episode_id WHERE m.metric = ?"
+                " GROUP BY e.policy_uri, e.sim_name",
+                (metric,),
+            ).fetchall()
+        cells = [dict(r) for r in rows]
+        return {
+            "metric": metric,
+            "policies": sorted({c["policy"] for c in cells}),
+            "sims": sorted({c["sim"] for c in cells}),
+            "cells": cells,
+        }
+
+    # ---- eval task routes ---------------------------------------------
+
+    def _need_queue(self):
+        if self.queue is None:
+            raise ValueError("no task queue configured")
+        return self.queue
+
+    def task_create(self, body: dict) -> dict:
+        import uuid
+
+        from metta_tpu.sim.remote import EvalTask
+
+        body = dict(body)
+        body.setdefault("task_id", str(uuid.uuid4()))
+        body.setdefault("command", "evaluate")
+        body.setdefault("simulations", [])
+        try:
+            task = EvalTask.from_json(body)
+        except TypeError as e:
+            raise ValueError(f"bad task request: {e}") from None
+        return self._need_queue().submit(task).to_json()
+
+    def tasks_available(self) -> dict:
+        import os
+
+        q = self._need_queue()
+        pending = []
+        pdir = os.path.join(q.queue_dir, "pending")
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".json"):
+                with open(os.path.join(pdir, f)) as fh:
+                    pending.append(json.load(fh))
+        return {"tasks": pending}
+
+    def task_claim(self, body: dict) -> dict:
+        task = self._need_queue().claim(body.get("worker_id", "http"))
+        return task.to_json() if task is not None else {}
+
+    def task_finish(self, task_id: str, body: dict) -> dict:
+        q = self._need_queue()
+        task = q.get(task_id)
+        if task is None:
+            raise KeyError(task_id)
+        q.complete(task, body.get("result") or {}, error=body.get("error"))
+        return q.get(task_id).to_json()
+
+    def task_get(self, task_id: str) -> dict:
+        task = self._need_queue().get(task_id)
+        if task is None:
+            raise KeyError(task_id)
+        return task.to_json()
+
+    # ---- dispatch ------------------------------------------------------
+
+    def handle(self, method: str, path: str, query: dict, body: dict) -> tuple[int, dict]:
+        try:
+            if method == "GET" and path == "/health":
+                return 200, {"status": "ok"}
+            if method == "GET" and path == "/whoami":
+                return 200, {"user_email": "local@localhost"}
+            if method == "GET" and path == "/stats/policies":
+                return 200, self.policies()
+            if method == "POST" and path == "/stats/episodes/query":
+                return 200, self.episodes_query(body)
+            m = re.fullmatch(r"/stats/episodes/([^/]+)/metrics", path)
+            if method == "GET" and m:
+                return 200, self.episode_metrics(m.group(1))
+            if method == "GET" and path == "/sql/tables":
+                return 200, self.tables()
+            m = re.fullmatch(r"/sql/tables/([^/]+)/schema", path)
+            if method == "GET" and m:
+                return 200, self.table_schema(m.group(1))
+            if method == "POST" and path == "/sql/query":
+                return 200, self.sql_query(body)
+            if method == "GET" and path == "/dashboard/heatmap":
+                return 200, self.heatmap(query.get("metric", ["reward"])[0])
+            if method == "POST" and path == "/tasks":
+                return 200, self.task_create(body)
+            if method == "GET" and path == "/tasks/available":
+                return 200, self.tasks_available()
+            if method == "POST" and path == "/tasks/claim":
+                return 200, self.task_claim(body)
+            m = re.fullmatch(r"/tasks/([^/]+)/finish", path)
+            if method == "POST" and m:
+                return 200, self.task_finish(m.group(1), body)
+            m = re.fullmatch(r"/tasks/([^/]+)", path)
+            if method == "GET" and m:
+                return 200, self.task_get(m.group(1))
+            return 404, {"error": f"no route {method} {path}"}
+        except KeyError as e:
+            return 404, {"error": f"not found: {e}"}
+        except ValueError as e:
+            return 400, {"error": str(e)}
+        except sqlite3.Error as e:
+            return 400, {"error": f"sql: {e}"}
+
+
+def make_server(backend: AppBackend, host: str = "127.0.0.1", port: int = 0):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _respond(self, code: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _handle(self, method: str):
+            u = urlparse(self.path)
+            body: dict[str, Any] = {}
+            n = int(self.headers.get("Content-Length") or 0)
+            if n:
+                try:
+                    body = json.loads(self.rfile.read(n))
+                except ValueError:
+                    self._respond(400, {"error": "invalid JSON body"})
+                    return
+            code, payload = backend.handle(method, u.path, parse_qs(u.query), body)
+            self._respond(code, payload)
+
+        def do_GET(self):
+            self._handle("GET")
+
+        def do_POST(self):
+            self._handle("POST")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(stats_db_path: str, task_queue_dir: Optional[str] = None,
+          host: str = "127.0.0.1", port: int = 8000, background: bool = False):
+    """Start the backend; returns (server, thread) when background=True."""
+    server = make_server(AppBackend(stats_db_path, task_queue_dir), host, port)
+    if background:
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return server, t
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stats-db", required=True)
+    ap.add_argument("--task-queue-dir", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    a = ap.parse_args()
+    print(f"app_backend serving {a.stats_db} on {a.host}:{a.port}")
+    serve(a.stats_db, a.task_queue_dir, a.host, a.port)
