@@ -188,3 +188,75 @@ def test_damage_system():
     inv = env.agent_inventory(0)
     assert inv["laser"] == 1
     assert inv["heart"] == 3
+
+
+def test_vibe_transfer_matrix():
+    """Full vibe-keyed transfer matrix (transfer.hpp): each vibe row applies
+    its own actor/target deltas; capacity and requirement gating per row."""
+    from metta_tpu.config.mettagrid_config import (
+        ActionsConfig,
+        InventoryConfig,
+        ResourceLimitsConfig,
+    )
+
+    cfg = make_test_config(
+        """
+#####
+#01.#
+#####
+""",
+        actions=ActionsConfig(
+            transfer=TransferActionConfig(
+                enabled=True,
+                vibe_transfers=[
+                    VibeTransfer(vibe="heart_a", actor={"heart": -1}, target={"heart": 1}),
+                    VibeTransfer(vibe="carbon_a",
+                                 actor={"ore_red": -2}, target={"ore_red": 2}),
+                    # a taking vibe: actor gains from the target
+                    VibeTransfer(vibe="oxygen_a",
+                                 actor={"battery_red": 1}, target={"battery_red": -1}),
+                ],
+            )
+        ),
+        resource_names=["heart", "ore_red", "battery_red"],
+        agent=AgentConfig(inventory=InventoryConfig(
+            limits={"ore": ResourceLimitsConfig(limit=3, resources=["ore_red"])}
+        )),
+    )
+    env = MettaGridEnv(cfg)
+
+    # row 1: heart give
+    env.reset(seed=0)
+    env.set_agent_inventory(0, {"heart": 2})
+    env.set_agent_vibe(0, "heart_a")
+    step_with(env, {0: "move_east"})
+    assert env.agent_inventory(0) == {"heart": 1}
+    assert env.agent_inventory(1) == {"heart": 1}
+
+    # row 2: ore give of 2, clamped by the target's limit of 3
+    env.reset(seed=0)
+    env.set_agent_inventory(0, {"ore_red": 3})
+    env.set_agent_inventory(1, {"ore_red": 2})
+    env.set_agent_vibe(0, "carbon_a")
+    step_with(env, {0: "move_east"})
+    # target can only absorb 1 (limit 3): reference rejects when the full
+    # delta doesn't fit -> transfer fails, nothing moves
+    assert not env.action_success()[0]
+    assert env.agent_inventory(0) == {"ore_red": 3}
+    assert env.agent_inventory(1) == {"ore_red": 2}
+
+    # row 3: taking vibe pulls from the target
+    env.reset(seed=0)
+    env.set_agent_inventory(1, {"battery_red": 2})
+    env.set_agent_vibe(0, "oxygen_a")
+    step_with(env, {0: "move_east"})
+    assert env.agent_inventory(0) == {"battery_red": 1}
+    assert env.agent_inventory(1) == {"battery_red": 1}
+
+    # wrong vibe: no transfer row -> plain blocked bump
+    env.reset(seed=0)
+    env.set_agent_inventory(0, {"heart": 1})
+    env.set_agent_vibe(0, "silicon_a")
+    step_with(env, {0: "move_east"})
+    assert not env.action_success()[0]
+    assert env.agent_inventory(0) == {"heart": 1}

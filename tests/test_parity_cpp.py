@@ -299,3 +299,27 @@ def test_economy_random_walk_bit_exact():
         for _ in range(40)
     ]
     run_differential(my_cfg, ref_cfg, script)
+
+
+TRUNC_MAP = [
+    "##########",
+    "###.##.###",
+    "##.#0.#.##",
+    "###.##..##",
+    "##...Z.###",
+    "##########",
+]
+
+
+@pytest.mark.parametrize("num_tokens", [12, 20])
+def test_obs_truncation_order_bit_exact(num_tokens):
+    """Token truncation follows the center-out scan contract exactly
+    (packed_coordinate.hpp:74-140): with a dense wall pocket and a tiny
+    token budget, the kept/dropped token set and ORDER must match the
+    reference engine byte for byte."""
+    my_cfg, ref_cfg = make_nav_pair(TRUNC_MAP)
+    my_cfg.game.obs.num_tokens = num_tokens
+    ref_cfg.game.obs.num_tokens = num_tokens
+    env = MettaGridEnv(my_cfg, num_envs=1)
+    script = _nav_script(env.action_names, 30, 11)
+    run_differential(my_cfg, ref_cfg, script)

@@ -57,3 +57,54 @@ def test_train_loop_runs():
     tr.train(total_timesteps=2 * tr.B * tr.T, log_fn=logs.append)
     assert len(logs) == 2
     assert logs[-1]["agent_steps"] == 2 * tr.B * tr.T
+
+
+def test_update_donation_aliasing_safe():
+    """Donated-buffer updates must equal undonated recomputation bit-for-bit.
+
+    SURVEY §5 names donation/aliasing checks as the JAX equivalent of the
+    reference's race detection: ``Trainer._update_jit`` donates the
+    TrainState, so any read-after-donate bug would silently corrupt
+    training. Run the same two updates with and without donation and
+    compare every metric and parameter."""
+    import jax
+    import jax.numpy as jnp
+
+    from metta_tpu.builder.envs import make_arena
+    from metta_tpu.models.vit import ViTConfig
+    from metta_tpu.rl.config import TrainerConfig
+    from metta_tpu.rl.trainer import Trainer
+
+    def build():
+        cfg = make_arena(num_agents=4)
+        cfg.game.map_builder.seed = 5
+        tc = TrainerConfig(num_envs=4, bptt_horizon=8,
+                           batch_size=4 * 4 * 8, minibatch_size=64)
+        arch = ViTConfig(latent_dim=16, actor_hidden=16, critic_hidden=16,
+                         max_tokens=16, core_num_latents=2, core_num_heads=2)
+        return Trainer(cfg, tc, arch)
+
+    tr_don = build()
+    ts = tr_don.init_state(0)
+    m_don = []
+    for _ in range(2):
+        ts, m = tr_don.update(ts)        # donated path
+        m_don.append({k: np.asarray(v) for k, v in m.items()})
+    params_don = jax.tree.map(np.asarray, ts.params)
+
+    tr_ref = build()
+    undonated = jax.jit(tr_ref._update)  # no donate_argnums
+    ts2 = tr_ref.init_state(0)
+    hp = jnp.asarray(tr_ref.default_hp(), jnp.float32)
+    eps = jnp.asarray(tr_ref.cfg.update_epochs, jnp.int32)
+    m_ref = []
+    for _ in range(2):
+        ts2, m = undonated(ts2, hp, eps)
+        m_ref.append({k: np.asarray(v) for k, v in m.items()})
+
+    for a, b in zip(m_don, m_ref):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=0, atol=0,
+                                       err_msg=f"metric {k}")
+    params_ref = jax.tree.map(np.asarray, ts2.params)
+    jax.tree.map(np.testing.assert_array_equal, params_don, params_ref)
