@@ -603,10 +603,15 @@ class Trainer:
         if active_epochs is None:
             active_epochs = self.cfg.update_epochs
         active_epochs = jnp.asarray(active_epochs, jnp.int32)
-        tsdata = self.env.tsdata if self.multi_task else None
+        if self.multi_task:
+            # tsdata is a traced arg only on the multi-task path — the
+            # distributed trainer's shard_map specs take the 3-arg form
+            if self.cfg.rollout_chunks > 1:
+                return self._update_chunked(ts, hp, active_epochs, self.env.tsdata)
+            return self._update_jit(ts, hp, active_epochs, self.env.tsdata)
         if self.cfg.rollout_chunks > 1:
-            return self._update_chunked(ts, hp, active_epochs, tsdata)
-        return self._update_jit(ts, hp, active_epochs, tsdata)
+            return self._update_chunked(ts, hp, active_epochs)
+        return self._update_jit(ts, hp, active_epochs)
 
     # -- chunked path: several shorter device programs per update (see
     # TrainerConfig.rollout_chunks) --------------------------------------
