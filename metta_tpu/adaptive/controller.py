@@ -55,22 +55,48 @@ class LocalDispatcher:
 
 
 class AdaptiveController:
-    """Dispatch/monitor loop (adaptive_controller.py:22-50)."""
+    """Dispatch/monitor loop (adaptive_controller.py:22-50).
+
+    ``store`` (optional): a run store (``adaptive/store.py`` JsonFileStore /
+    WandbStore) that receives init_run + lifecycle summary updates per job,
+    so the live monitor (``adaptive/monitor.py``) can watch the experiment.
+    """
 
     def __init__(self, scheduler, dispatcher: Dispatcher,
-                 on_result: Optional[Callable] = None):
+                 on_result: Optional[Callable] = None, store=None,
+                 experiment_id: str = "adaptive"):
         self.scheduler = scheduler
         self.dispatcher = dispatcher
         self.on_result = on_result
+        self.store = store
+        self.experiment_id = experiment_id
 
     def run(self) -> None:
+        import time as _time
+
         while not self.scheduler.done:
             job = self.scheduler.next_job()
             if job is None:
                 break
+            run_id = f"{self.experiment_id}_{job.job_id}"
+            if self.store is not None:
+                self.store.init_run(run_id, group=self.experiment_id,
+                                    config=dict(job.params))
+                self.store.update_run_summary(run_id, {"has_started_training": True})
+            t0 = _time.time()
             handle = self.dispatcher.dispatch(job)
             objective, cost, failed = self.dispatcher.collect(handle)
             self.scheduler.record(job.job_id, objective, cost, failed)
+            if self.store is not None:
+                self.store.update_run_summary(run_id, {
+                    "has_completed_training": True,
+                    "has_started_eval": True,
+                    "has_been_evaluated": not failed,
+                    "has_failed": failed,
+                    "objective": objective,
+                    "cost": cost,
+                    "runtime": _time.time() - t0,
+                })
             if self.on_result:
                 self.on_result(job, objective)
             logger.info("job %d: objective %.4f%s", job.job_id, objective,

@@ -577,6 +577,22 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
 
     offs = jnp.array(_NEIGHBOR_OFFS, jnp.int32)
 
+    # ---- protocol-resource subset: all inventory work in this phase only
+    # touches the resources some protocol reads/writes (Rp <= R) ----
+    import numpy as _np
+    PR = tables.proto_res
+    Rp = len(PR)
+    pr_idx = jnp.asarray(_np.array(PR, _np.int32))
+    inv_p = state.agent_inv[:, pr_idx]                 # [A, Rp]
+    lims_p = lims[:, pr_idx]
+    proto_in_p = tables.proto_in[:, pr_idx]
+    proto_out_p = tables.proto_out[:, pr_idx]
+    uproto_in_p = tables.uproto_in[:, pr_idx]
+    uproto_out_p = tables.uproto_out[:, pr_idx]
+    expand_m = _np.zeros((Rp, R), _np.float32)
+    expand_m[_np.arange(Rp), _np.array(PR)] = 1.0
+    expand_m = jnp.asarray(expand_m)
+
     def per_station(claim_i, claimed_i, valid_i, t_i, ar_, ac_, uses_i,
                     cd_end_i, cd_dur_i, clipped, uproto_i, max_uses_i,
                     allow_partial_i, actor_r_i, actor_c_i):
@@ -614,8 +630,8 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
                 u = jnp.sum(jnp.where(pu_oh[:, None], un, 0), axis=0)
             return jnp.where(clipped, u, n)
 
-        inputs = gth(tables.proto_in, tables.uproto_in)
-        outputs = gth(tables.proto_out, tables.uproto_out)
+        inputs = gth(proto_in_p, uproto_in_p)
+        outputs = gth(proto_out_p, uproto_out_p)
         cooldown = gth(tables.proto_cooldown, tables.uproto_cooldown)
         nvibes = gth(tables.proto_nvibes, tables.uproto_nvibes)
         vibe_counts = gth(tables.proto_vibe_counts, tables.uproto_vibe_counts)
@@ -652,8 +668,8 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         ref_valid = jnp.any(poh & nb_is_agent[None, :], axis=1)
         v8 = jnp.sum(jnp.where(poh, vibes[None, :], 0), axis=1)
 
-        rows = _gather_rows(ref_idx, ref_valid, state.agent_inv, A)       # [8, R]
-        lim_rows = _gather_rows(ref_idx, ref_valid, lims, A)
+        rows = _gather_rows(ref_idx, ref_valid, inv_p, A)                  # [8, Rp]
+        lim_rows = _gather_rows(ref_idx, ref_valid, lims_p, A)
         totals = jnp.sum(jnp.where(ref_valid[:, None], rows, 0), axis=0)
         ok = ok & jnp.all((inputs == 0) | (totals >= inputs))
 
@@ -668,8 +684,8 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         out_valid = jnp.where(use_multi, sel, jnp.arange(8) == 0)
         actor = jnp.clip(claim_i, 0, A - 1)
         out_idx = jnp.where(use_multi, ref_idx, jnp.full((8,), actor))
-        out_rows = _gather_rows(out_idx, out_valid, state.agent_inv, A)
-        out_lims = _gather_rows(out_idx, out_valid, lims, A)
+        out_rows = _gather_rows(out_idx, out_valid, inv_p, A)
+        out_lims = _gather_rows(out_idx, out_valid, lims_p, A)
         total_free = jnp.sum(
             jnp.where(out_valid[:, None], jnp.maximum(out_lims - out_rows, 0), 0), axis=0
         )
@@ -696,18 +712,30 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         actor_r, actor_c,
     )
 
-    # write back all deltas via one one-hot matmul (clamped at 0/limit
-    # afterwards — see module docstring)
-    d = _scatter_rows(in_idx, in_val, in_d, A, R) + _scatter_rows(
-        out_idx, out_val, out_d, A, R
+    # write back all deltas via one one-hot matmul, expanded from the
+    # protocol-resource subset to full R with a constant one-hot (clamped at
+    # 0/limit afterwards — see module docstring)
+    d_p = _scatter_rows(in_idx, in_val, in_d, A, Rp) + _scatter_rows(
+        out_idx, out_val, out_d, A, Rp
     )
+    d = jax.lax.dot_general(
+        d_p.astype(jnp.float32), expand_m, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)                                                    # [A, R]
     old_inv = state.agent_inv
     state = state.replace(agent_inv=jnp.clip(old_inv + d, 0, lims))
     state = _track_agent_inv(state, tables, old_inv)
     if tables.track_chest_stats:
         # assembler.<r>.created game stat (parity: assembler onUse output
         # distribution accounting, assembler.py:197/:235 sequential path).
-        created = jnp.sum(jnp.maximum(out_d, 0), axis=(0, 1))
+        created_p = jnp.sum(jnp.maximum(out_d, 0), axis=(0, 1))
+        created = jax.lax.dot_general(
+            created_p.astype(jnp.float32)[None], expand_m,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )[0].astype(jnp.int32)
         state = state.replace(game_asm_created=state.game_asm_created + created)
 
     # scatter compacted per-station results back to the full NA axis

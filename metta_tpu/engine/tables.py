@@ -101,6 +101,13 @@ class Tables:
         self.any_action_consumed = bool((cfg.action_consumed != 0).any())
         self.any_allow_partial = bool(cfg.type_allow_partial.any())
         self.any_stat_aligned = bool((cfg.stat_src == _C.SRC_ALIGNED).any())
+        # resources any assembler protocol touches — the batched assembler
+        # phase restricts its [K, 8, R] shared-update machinery to these
+        used_r = (
+            (np.abs(cfg.proto_in).sum(0) + np.abs(cfg.proto_out).sum(0)
+             + np.abs(cfg.uproto_in).sum(0) + np.abs(cfg.uproto_out).sum(0)) > 0
+        )
+        self.proto_res = tuple(int(i) for i in np.flatnonzero(used_r)) or (0,)
 
         # Fast-path gate: multi-resource inventory updates are exactly
         # order-independent when every limit group is a single resource and
@@ -123,7 +130,7 @@ class Tables:
         "has_damage", "has_regen", "has_mods", "has_swap",
         "loot_ids", "any_attack_delta", "any_attack_consumed",
         "any_action_consumed", "any_allow_partial", "any_stat_aligned",
-        "inv_vector_ok",
+        "inv_vector_ok", "proto_res",
     )
 
     def tree_flatten(self):

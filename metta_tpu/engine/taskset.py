@@ -66,14 +66,21 @@ def build_task_set(
 ) -> tuple[TaskSetData, List[Tables]]:
     """Compile + stack K task configs. Raises if statics/shapes differ."""
     tables_list, templates, obs1s, clip0 = [], [], [], []
+    # Templates are built on the host CPU backend and device_put afterwards:
+    # building them on the accelerator would compile two fresh programs per
+    # task (and per curriculum slot eviction), which on a remote-compile TPU
+    # costs ~30 s each — task-pool mutations must stay data-only.
+    cpu = jax.devices("cpu")[0]
     for i, cfg in enumerate(cfgs):
         game_map = cfg.game.map_builder.create().build()
         compiled, init = compile_game(cfg.game, game_map)
         t = Tables(compiled, track_stats=track_stats)
         tables_list.append(t)
-        tmpl, obs1 = make_reset_template(t, init)
-        templates.append(tmpl)
-        obs1s.append(obs1)
+        with jax.default_device(cpu):
+            t_cpu = Tables(compiled, track_stats=track_stats)
+            tmpl, obs1 = make_reset_template(t_cpu, init)
+        templates.append(jax.device_put(tmpl))
+        obs1s.append(jax.device_put(obs1))
         clip0.append(jnp.asarray(init["asm_start_clipped"]))
     t0 = jax.tree.structure(tables_list[0])
     shapes0 = [x.shape for x in jax.tree.leaves(tables_list[0])]
