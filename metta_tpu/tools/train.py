@@ -62,6 +62,11 @@ class TrainTool(Tool):
     eval_episodes: int = 4
     log_interval: int = 1
     heartbeat_file: Optional[str] = None
+    # failure/abort controls (parity: rl/training/wandb_aborter.py — abort
+    # signal polled between updates — plus a wall-clock watchdog)
+    abort_file: Optional[str] = None   # training stops cleanly if this exists
+    abort_check_interval: int = 5      # updates between abort-file polls
+    max_runtime_hrs: float = 0.0       # 0 = unlimited
 
     # populated programmatically by recipes (not via CLI)
     _curriculum: Any = None
@@ -129,6 +134,16 @@ class TrainTool(Tool):
         last_log_t = t0
 
         while agent_steps < total:
+            if self.abort_file and self.abort_check_interval and \
+                    update_idx % self.abort_check_interval == 0 and \
+                    os.path.exists(self.abort_file):
+                logger.warning("abort file %s present — stopping cleanly",
+                               self.abort_file)
+                break
+            if self.max_runtime_hrs and (time.time() - t0) > self.max_runtime_hrs * 3600:
+                logger.warning("max_runtime_hrs %.2f reached — stopping cleanly",
+                               self.max_runtime_hrs)
+                break
             ts, metrics = trainer.update(ts)
             update_idx += 1
             agent_steps += steps_per_update

@@ -22,3 +22,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax  # noqa: E402 (sitecustomize has already imported it anyway)
 
 jax.config.update("jax_platforms", "cpu")
+# env vars above are read at jax import, which sitecustomize already did —
+# apply the cache settings through the config API so they actually stick
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
