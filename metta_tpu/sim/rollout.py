@@ -104,10 +104,17 @@ def multi_episode_rollout(
     proportions: Optional[Sequence[float]] = None,
     save_replay: Optional[str] = None,
     max_steps_override: Optional[int] = None,
+    step_mode: str = "batched",
 ) -> MultiEpisodeRolloutResult:
+    """``step_mode`` defaults to the batched (rank-arbitrated) engine: on
+    accelerators the sequential-exact mode unrolls A agent iterations into
+    one enormous program (minutes of compile at 24 agents through a remote
+    compile service); eval semantics are identical up to multi-agent
+    conflict ordering, which the reference randomizes per step anyway."""
     env_cfg = env_cfg.model_copy(deep=True)
     env_cfg.desync_episodes = False
-    env = MettaGridEnv(env_cfg, num_envs=episodes, desync_episodes=False)
+    env = MettaGridEnv(env_cfg, num_envs=episodes, desync_episodes=False,
+                       step_mode=step_mode)
     A = env.num_agents
     E = episodes
     max_steps = max_steps_override or env.compiled.max_steps or 1000

@@ -40,7 +40,9 @@ class EvaluateTool(Tool):
             sims = [SimulationConfig(suite="eval", name="default", env=self.env,
                                      episodes=self.episodes)]
 
-        env = MettaGridEnv(sims[0].env, num_envs=1)
+        # batched step mode: the sequential-exact engine unrolls A agent
+        # iterations into one enormous program (minutes of remote compile)
+        env = MettaGridEnv(sims[0].env, num_envs=1, step_mode="batched")
         policy = NetworkPolicy.from_bundle(self.policy_uri, env, n_slots=1)
         results = run_simulations([policy], sims, seed=self.seed,
                                   replay_dir=self.replay_dir)
