@@ -190,6 +190,7 @@ class MettaGridEnv:
         self.step_core = step_batch
         self._reset_fn = jax.jit(reset_batch)
         self._step_fn = jax.jit(step_batch)
+        self.step_no_reset_core = step_batch_no_reset
         self._step_no_reset_fn = jax.jit(step_batch_no_reset)
         self._state: Optional[VecEnvState] = None
 

@@ -137,6 +137,86 @@ def multi_episode_rollout(
         writer = ReplayLogWriter(save_replay)
         replay = writer.new_episode(env, env_cfg)
 
+    from metta_tpu.policy.policy import NetworkPolicy
+
+    if save_replay is None and policies and all(
+        isinstance(p, NetworkPolicy) for p in policies
+    ):
+        # ---- on-device fast path: the whole policy+env loop is one jitted
+        # lax.scan (the host loop below dispatches one device call per step,
+        # which costs ~0.15 s/step through a tunneled device — 10k-step
+        # episodes take minutes; this path takes seconds) ----
+        import jax
+        import jax.numpy as jnp
+
+        B = E * A
+        assign_d = jnp.asarray(assignments.reshape(-1))
+        params = [p.params for p in policies]
+
+        def body(carry, _):
+            vstate, obs, states, key, ep_rew, ep_stp, ep_dn = carry
+            obs_flat = obs.reshape(B, obs.shape[2], 3)
+            key, *ks = jax.random.split(key, len(policies) + 1)
+            actions = jnp.zeros((B,), jnp.int32)
+            new_states = []
+            for i, p in enumerate(policies):
+                o = obs_flat[:, : p.policy.cfg.max_tokens]
+                logits, _v, _h, st = p.policy.apply(params[i], o, states[i])
+                act = (jax.random.categorical(ks[i], logits)
+                       if p.sample else jnp.argmax(logits, axis=-1))
+                actions = jnp.where(assign_d == i, act.astype(jnp.int32), actions)
+                new_states.append(st)
+            vs2, obs2, rew, done, trunc = env.step_no_reset_core(
+                vstate, actions.reshape(E, A)
+            )
+            active = ~ep_dn
+            # freeze envs whose episode already ended (their final state
+            # carries the episode stats the caller reads)
+            vs2 = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(active, (-1,) + (1,) * (old.ndim - 1)), new, old
+                ) if new.ndim >= 1 and new.shape[:1] == (E,) else
+                jnp.where(active.any(), new, old),
+                vs2, vstate,
+            )
+            obs2 = jnp.where(active[:, None, None, None], obs2, obs)
+            ep_rew = ep_rew + jnp.where(active[:, None], rew, 0.0)
+            ep_stp = ep_stp + active.astype(jnp.int64)
+            ep_dn = ep_dn | (done | trunc)
+            return (vs2, obs2, new_states, key, ep_rew, ep_stp, ep_dn), ()
+
+        def run(key):
+            vstate, obs = env.reset_core(key)
+            carry = (
+                vstate, obs, [p.policy.initial_state(B) for p in policies],
+                jax.random.fold_in(key, 17),
+                jnp.zeros((E, A), jnp.float32),
+                jnp.zeros((E,), jnp.int64),
+                jnp.zeros((E,), bool),
+            )
+            carry, _ = jax.lax.scan(body, carry, None, length=max_steps)
+            return carry
+
+        carry = jax.jit(run)(jax.random.PRNGKey(seed))
+        vstate_f, _obs, _st, _k, ep_rew_d, ep_stp_d, _dn = carry
+        env._state = jax.tree.map(lambda x: x, vstate_f)
+        ep_rewards = np.asarray(ep_rew_d)
+        ep_steps = np.asarray(ep_stp_d)
+
+        result = MultiEpisodeRolloutResult()
+        for e in range(E):
+            result.episodes.append(
+                EpisodeRolloutResult(
+                    assignments=assignments[e],
+                    rewards=ep_rewards[e],
+                    stats=episode_stats(env, e),
+                    replay_path=None,
+                    steps=int(ep_steps[e]),
+                    max_steps=max_steps,
+                )
+            )
+        return result
+
     obs = env.reset(seed=seed)
     ep_rewards = np.zeros((E, A))
     ep_steps = np.zeros((E,), np.int64)
