@@ -116,3 +116,11 @@ def test_unknown_route_404(backend):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(backend, "/nope")
     assert ei.value.code == 404
+
+
+def test_dashboard_html_page(backend):
+    with urllib.request.urlopen(backend + "/") as r:
+        assert r.status == 200
+        assert "text/html" in r.headers["Content-Type"]
+        body = r.read().decode()
+    assert "policy scorecard" in body and "/dashboard/heatmap" in body
