@@ -53,6 +53,9 @@ class PPOCriticConfig(Config):
     critic_update: Literal["mse", "gtd_lambda"] = "gtd_lambda"
     aux_coef: float = Field(default=1.0, ge=0)
     beta: float = Field(default=1.0, ge=0)
+    # recurrent burn-in: exclude the first N steps of each BPTT segment from
+    # the losses while the zero-init core warms up (loss/ppo_critic.py:56-91)
+    burn_in_steps: int = Field(default=0, ge=0)
 
 
 class KickstarterConfig(Config):

@@ -383,6 +383,13 @@ class Trainer:
         # PPO rows: sliced distillation losses reserve teacher/student rows
         row_mask = L.ppo_row_mask(self, mb["rows"])              # [M]
         pm = jnp.broadcast_to(row_mask[None, :], ratio.shape)    # [T, M]
+        if cc.burn_in_steps > 0:
+            # recurrent burn-in: the first steps of each BPTT segment warm up
+            # the zero-initialized core and are excluded from every loss
+            # (parity: loss/ppo_critic.py:56-91 skipping early stores)
+            T_mb = ratio.shape[0]
+            tmask = (jnp.arange(T_mb) >= cc.burn_in_steps).astype(pm.dtype)
+            pm = pm * tmask[:, None]
 
         # [M, T] time-major → row-major for the scans
         v_bt = value.T

@@ -108,3 +108,30 @@ def test_update_donation_aliasing_safe():
                                        err_msg=f"metric {k}")
     params_ref = jax.tree.map(np.asarray, ts2.params)
     jax.tree.map(np.testing.assert_array_equal, params_don, params_ref)
+
+
+def test_burn_in_masks_early_segment_steps():
+    """burn_in_steps changes the update (early steps excluded from losses)."""
+    import jax.numpy as jnp
+
+    from metta_tpu.builder.envs import make_arena
+    from metta_tpu.rl.config import TrainerConfig
+    from metta_tpu.rl.trainer import Trainer
+
+    def run(burn):
+        cfg = make_arena(num_agents=4)
+        cfg.game.map_builder.seed = 5
+        tc = TrainerConfig(num_envs=2, bptt_horizon=8, batch_size=64,
+                           minibatch_size=32)
+        tc.losses.ppo_critic.burn_in_steps = burn
+        arch = ViTConfig(latent_dim=16, actor_hidden=16, critic_hidden=16,
+                         max_tokens=16, core_num_latents=2, core_num_heads=2)
+        tr = Trainer(cfg, tc, arch)
+        ts = tr.init_state(0)
+        ts, m = tr.update(ts)
+        return float(m["policy_loss"]), float(m["value_loss"])
+
+    p0, v0 = run(0)
+    p4, v4 = run(4)
+    assert np.isfinite(p4) and np.isfinite(v4)
+    assert (p0, v0) != (p4, v4), "burn-in must change the losses"
