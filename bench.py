@@ -70,16 +70,17 @@ def measure(num_envs: int, steps: int, warmup: int, agents: int):
     compile_s = time.time() - t_c0
 
     # The device is reached through a shared tunnel with visible time-varying
-    # throughput (2-2.5x swings between identical runs); report the best of
-    # several measurement windows as the chip rate.
+    # throughput (2-2.5x swings between identical runs); report the MEDIAN of
+    # several measurement windows as the chip rate (round-2 judge: min over
+    # short windows skews ~6% optimistic), with every trial recorded.
     trials = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         out = run_jit(vstate, key, steps)
         jax.block_until_ready(out)
         vstate, key = out[0], out[1]
         trials.append(time.time() - t0)
-    dt = min(trials)
+    dt = sorted(trials)[len(trials) // 2]
 
     env_sps = steps * num_envs / dt
     return {
@@ -93,6 +94,7 @@ def measure(num_envs: int, steps: int, warmup: int, agents: int):
             "agent_steps_per_sec": round(env_sps * A, 1),
             "steps_timed": steps,
             "wall_s": round(dt, 3),
+            "trial_selection": "median",
             "trial_walls_s": [round(t, 2) for t in trials],
             "compile_plus_warmup_s": round(compile_s, 1),
             "backend": jax.default_backend(),
@@ -104,7 +106,7 @@ def measure(num_envs: int, steps: int, warmup: int, agents: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-envs", type=int, default=4096)
-    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--agents", type=int, default=24)
     args = ap.parse_args()

@@ -266,6 +266,80 @@ def _static_cols(tables, A) -> np.ndarray:
     return out
 
 
+def prep_env(state, tables, ea, rw):
+    """Per-env XLA prep for the pallas renderer: compacted block token table,
+    combined agent+static block grid, global tokens, agent positions.
+
+    Shared by ``render_obs_pallas2`` and the profiling scripts so the profile
+    always decomposes exactly what the renderer runs.
+    """
+    from metta_tpu.engine.obs import (
+        build_agent_blocks,
+        build_assembler_blocks,
+        build_chest_blocks,
+        build_wall_blocks,
+    )
+    from metta_tpu.engine.obs_mm import _compact_blocks_mm, _global_tokens_all
+    from metta_tpu.engine.state import KIND_ASSEMBLER, KIND_CHEST, KIND_WALL
+
+    A = tables.num_agents
+    K = tables.max_tokens_per_cell
+    WIN = int(tables.obs_height)
+    ohr, owr = WIN // 2, int(tables.obs_width) // 2
+    H, W = tables.height, tables.width
+    NT = tables.n_object_types
+
+    agent_blocks, agent_ok = build_agent_blocks(state, tables)
+    wall_blocks, wall_ok = build_wall_blocks(tables)
+    if tables.has_assemblers:
+        asm_blocks, asm_ok = build_assembler_blocks(state, tables)
+    else:
+        asm_blocks = jnp.zeros((tables.n_assembler_slots, K, 2), jnp.int32)
+        asm_ok = jnp.zeros((tables.n_assembler_slots, K), bool)
+    if tables.has_chests:
+        chest_blocks, chest_ok = build_chest_blocks(state, tables)
+    else:
+        chest_blocks = jnp.zeros((tables.n_chest_slots, K, 2), jnp.int32)
+        chest_ok = jnp.zeros((tables.n_chest_slots, K), bool)
+    blocks = jnp.concatenate([
+        jnp.zeros((1, K, 2), jnp.int32), agent_blocks, wall_blocks,
+        asm_blocks, chest_blocks,
+    ])
+    oks = jnp.concatenate([
+        jnp.zeros((1, K), bool), agent_ok, wall_ok, asm_ok, chest_ok,
+    ])
+    comp_feat, comp_val, counts = _compact_blocks_mm(blocks, oks, K)
+    comp_plus = jnp.concatenate(
+        [comp_feat, comp_val, counts.astype(jnp.float32)[:, None]], axis=1
+    ).astype(jnp.bfloat16)
+
+    off_wall = 1 + A
+    off_asm = off_wall + NT
+    off_chest = off_asm + tables.n_assembler_slots
+    sb = jnp.where(
+        state.static_kind == KIND_WALL, off_wall + state.static_type,
+        jnp.where(
+            state.static_kind == KIND_ASSEMBLER, off_asm + state.static_idx,
+            jnp.where(state.static_kind == KIND_CHEST,
+                      off_chest + state.static_idx, 0),
+        ),
+    )
+    # merge agent occupancy (agent_grid holds 1+agent_id, matching block
+    # ids 1..A): one combined grid read in the kernel replaces the
+    # position-match machinery
+    sb = jnp.where(state.agent_grid > 0, state.agent_grid, sb)
+    sbp = jnp.pad(sb, ((ohr, ohr), (owr, owr))).astype(jnp.bfloat16)
+
+    g_count, g_loc, g_feat, g_val = _global_tokens_all(
+        state, tables, ea, rw, H // 2, W // 2, ohr, owr
+    )
+    g3 = jnp.stack([g_loc, g_feat, g_val], axis=0)     # [3, A, Gp]
+    rc = jnp.stack([state.agent_r, state.agent_c], axis=1)   # [A, 2]
+    return (sbp, comp_plus,
+            rc.astype(jnp.float32), g_count.astype(jnp.float32)[:, None],
+            g3)
+
+
 def render_obs_pallas2(state_b, tables, executed_actions_b, rewards_b,
                        eps: int = 4, interpret: bool = False,
                        stacked_tables=None, task_id=None):
@@ -281,15 +355,6 @@ def render_obs_pallas2(state_b, tables, executed_actions_b, rewards_b,
     (``engine/taskset.py``); the kernel itself only depends on the shared
     statics (obs geometry), so one compiled render serves every task.
     """
-    from metta_tpu.engine.obs import (
-        build_agent_blocks,
-        build_assembler_blocks,
-        build_chest_blocks,
-        build_wall_blocks,
-    )
-    from metta_tpu.engine.obs_mm import _compact_blocks_mm, _global_tokens_all
-    from metta_tpu.engine.state import KIND_ASSEMBLER, KIND_CHEST, KIND_WALL
-
     A = tables.num_agents
     T = tables.num_obs_tokens
     K = tables.max_tokens_per_cell
@@ -297,72 +362,20 @@ def render_obs_pallas2(state_b, tables, executed_actions_b, rewards_b,
     ohr, owr = WIN // 2, int(tables.obs_width) // 2
     H, W = tables.height, tables.width
     Hp, Wp = H + 2 * ohr, W + 2 * owr
-    NT = tables.n_object_types
     assert WIN * WIN <= SP and A <= AP
-
-    def prep(state, ea, rw, tables=tables):
-        agent_blocks, agent_ok = build_agent_blocks(state, tables)
-        wall_blocks, wall_ok = build_wall_blocks(tables)
-        if tables.has_assemblers:
-            asm_blocks, asm_ok = build_assembler_blocks(state, tables)
-        else:
-            asm_blocks = jnp.zeros((tables.n_assembler_slots, K, 2), jnp.int32)
-            asm_ok = jnp.zeros((tables.n_assembler_slots, K), bool)
-        if tables.has_chests:
-            chest_blocks, chest_ok = build_chest_blocks(state, tables)
-        else:
-            chest_blocks = jnp.zeros((tables.n_chest_slots, K, 2), jnp.int32)
-            chest_ok = jnp.zeros((tables.n_chest_slots, K), bool)
-        blocks = jnp.concatenate([
-            jnp.zeros((1, K, 2), jnp.int32), agent_blocks, wall_blocks,
-            asm_blocks, chest_blocks,
-        ])
-        oks = jnp.concatenate([
-            jnp.zeros((1, K), bool), agent_ok, wall_ok, asm_ok, chest_ok,
-        ])
-        comp_feat, comp_val, counts = _compact_blocks_mm(blocks, oks, K)
-        comp_plus = jnp.concatenate(
-            [comp_feat, comp_val, counts.astype(jnp.float32)[:, None]], axis=1
-        ).astype(jnp.bfloat16)
-
-        off_wall = 1 + A
-        off_asm = off_wall + NT
-        off_chest = off_asm + tables.n_assembler_slots
-        sb = jnp.where(
-            state.static_kind == KIND_WALL, off_wall + state.static_type,
-            jnp.where(
-                state.static_kind == KIND_ASSEMBLER, off_asm + state.static_idx,
-                jnp.where(state.static_kind == KIND_CHEST,
-                          off_chest + state.static_idx, 0),
-            ),
-        )
-        # merge agent occupancy (agent_grid holds 1+agent_id, matching block
-        # ids 1..A): one combined grid read in the kernel replaces the
-        # position-match machinery
-        sb = jnp.where(state.agent_grid > 0, state.agent_grid, sb)
-        sbp = jnp.pad(sb, ((ohr, ohr), (owr, owr))).astype(jnp.bfloat16)
-
-        g_count, g_loc, g_feat, g_val = _global_tokens_all(
-            state, tables, ea, rw, H // 2, W // 2, ohr, owr
-        )
-        g3 = jnp.stack([g_loc, g_feat, g_val], axis=0)     # [3, A, Gp]
-        rc = jnp.stack([state.agent_r, state.agent_c], axis=1)   # [A, 2]
-        return (sbp, comp_plus,
-                rc.astype(jnp.float32), g_count.astype(jnp.float32)[:, None],
-                g3)
 
     if stacked_tables is not None:
         def prep_mt(state, ea, rw, tid):
             te = jax.tree.map(lambda x: x[tid], stacked_tables)
-            return prep(state, ea, rw, tables=te)
+            return prep_env(state, te, ea, rw)
 
         sbp, comp_plus, rc, gcnt, g3 = jax.vmap(prep_mt)(
             state_b, executed_actions_b, rewards_b, task_id
         )
     else:
-        sbp, comp_plus, rc, gcnt, g3 = jax.vmap(prep)(
-            state_b, executed_actions_b, rewards_b
-        )
+        sbp, comp_plus, rc, gcnt, g3 = jax.vmap(
+            lambda s, ea, rw: prep_env(s, tables, ea, rw)
+        )(state_b, executed_actions_b, rewards_b)
     NB = int(comp_plus.shape[1])
     Gp = int(g3.shape[3])
     Tp = ((T + 127) // 128) * 128
