@@ -4,6 +4,7 @@ from metta_tpu.config.mettagrid_config import (
     ActionsConfig,
     AgentConfig,
     AgentRewards,
+    AOESourceConfig,
     AssemblerConfig,
     AttackActionConfig,
     AttackOutcome,
@@ -29,7 +30,8 @@ from metta_tpu.config.obs_config import ObsConfig
 from metta_tpu.config.vibes import TRAINING_VIBES, VIBES, Vibe
 
 __all__ = [
-    "ActionsConfig", "AgentConfig", "AgentRewards", "AssemblerConfig",
+    "ActionsConfig", "AgentConfig", "AgentRewards", "AOESourceConfig",
+    "AssemblerConfig",
     "AttackActionConfig", "AttackOutcome", "ChangeVibeActionConfig",
     "ChestConfig", "ClipperConfig", "CollectiveConfig", "Config",
     "DamageConfig", "GameConfig", "GlobalObsConfig", "GridObjectConfig",

@@ -294,6 +294,36 @@ class CollectiveConfig(Config):
     inventory: InventoryConfig = Field(default_factory=InventoryConfig)
 
 
+class AOESourceConfig(Config):
+    """Binds an AOE effect to every map instance of a static object type.
+
+    Parity: ``core/aoe_config.hpp`` + ``core/aoe_helper.hpp`` (the reference
+    exposes AOEConfig through bindings but leaves trigger plumbing to the
+    embedding; here every placed instance of ``object`` is a registered
+    source, applied to agents each step). ``aoe.target_tag_ids`` use the
+    sorted-tag id order (the IdMap contract); ``target_tags`` accepts names
+    and is merged in by the compiler.
+    """
+
+    model_config = ConfigDict(arbitrary_types_allowed=True, extra="forbid")
+
+    object: str  # object type name (key of GameConfig.objects)
+    aoe: Any = None  # engine.activation.AOEConfig (deferred import; dicts coerced)
+    target_tags: list[str] = Field(default_factory=list)
+
+    @model_validator(mode="after")
+    def _coerce_aoe(self) -> "AOESourceConfig":
+        from metta_tpu.engine.activation import AOEConfig as _AOE
+
+        if self.aoe is None:
+            self.aoe = _AOE()
+        elif isinstance(self.aoe, dict):
+            self.aoe = _AOE(**self.aoe)
+        elif not isinstance(self.aoe, _AOE):
+            raise TypeError(f"aoe must be an AOEConfig, got {type(self.aoe)}")
+        return self
+
+
 AnyGridObjectConfig = SerializeAsAny[
     Annotated[
         Union[
@@ -332,6 +362,26 @@ class GameConfig(Config):
     inventory_regen_interval: int = Field(default=0, ge=0)
     clipper: Optional[ClipperConfig] = Field(default=None)
     collectives: list[CollectiveConfig] = Field(default_factory=list)
+    # AOE sources + config-driven bump interactions (the reference binds
+    # these config types via activation_handler_bindings.hpp/aoe_bindings.hpp;
+    # here they are first-class engine features — see engine/activation_wiring.py)
+    aoe_sources: list[AOESourceConfig] = Field(default_factory=list)
+    on_bump_handlers: list[Any] = Field(default_factory=list)
+
+    @field_validator("on_bump_handlers", mode="after")
+    @classmethod
+    def _coerce_handlers(cls, v):
+        from metta_tpu.engine.activation import ActivationHandlerConfig
+
+        out = []
+        for h in v:
+            if isinstance(h, dict):
+                h = ActivationHandlerConfig(**h)
+            elif not isinstance(h, ActivationHandlerConfig):
+                raise TypeError(f"on_bump_handlers entries must be "
+                                f"ActivationHandlerConfig, got {type(h)}")
+            out.append(h)
+        return out
     map_builder: Any = Field(default=None)
 
     @field_validator("map_builder", mode="before")

@@ -284,6 +284,15 @@ def do_move(state, tables, a, dir_arg, mask):
         handled = handled | tr_ok
         success = success | tr_ok
 
+    # 2b) config-driven bump handlers (engine/activation_wiring.py); checked
+    # before the frozen swap so a handler targeting frozen agents wins
+    if tables.has_bump_handlers:
+        from metta_tpu.engine.activation_wiring import bump_handlers_seq
+
+        bh_ok, state = bump_handlers_seq(state, tables, a, tgt_agent, mask & ~handled)
+        handled = handled | bh_ok
+        success = success | bh_ok
+
     # 3) plain move into empty cell
     empty = (tgt_agent < 0) & (skind == 0)
     move_ok = mask & ~handled & empty

@@ -219,6 +219,21 @@ class CompiledConfig:
     clip_period: int
     clipper_infection_w: np.ndarray  # [NA, NA] int32 (precomputed weights)
 
+    # --- AOE sources (core/aoe_helper.hpp, wired per GameConfig.aoe_sources) ---
+    aoe_src_r: np.ndarray     # [NS] int32 source positions (map instances)
+    aoe_src_c: np.ndarray     # [NS] int32
+    aoe_radius: np.ndarray    # [NS] int32 Chebyshev radius
+    aoe_deltas: np.ndarray    # [NS, R] int32 per-tick resource deltas
+    aoe_align: np.ndarray     # [NS] int32 (0 any, 1 same_collective, 2 different)
+    aoe_tags: np.ndarray      # [NS, max_tags] int32 target tag filter (-1 pad)
+    aoe_src_coll: np.ndarray  # [NS] int32 source collective (-1 unaligned)
+    aoe_valid: np.ndarray     # [NS] bool
+
+    # --- activation handlers fired on move-into-agent bumps
+    # (actions/activation_handler.hpp; stored as canonical-JSON strings so the
+    # handler chain is static/hashable — trace-time specialization) ---
+    on_bump_handlers: list
+
     # --- collectives ---
     coll_inv_class: np.ndarray   # [NL] int32
     coll_initial_inv: np.ndarray  # [NL, R] int32
@@ -913,6 +928,50 @@ def compile_game(game: GameConfig, game_map: GameMap) -> tuple[CompiledConfig, d
         if type_collective[t_id] >= 0:
             coll_aligned_init[type_collective[t_id], t_id] += 1
 
+    # --- AOE sources: every map instance of each configured object type
+    # becomes a registered source (aoe_helper.hpp register_source) ---
+    aoe_entries: list[tuple[int, int, "object"]] = []  # (r, c, src_cfg)
+    for src in game.aoe_sources:
+        if src.object not in type_id_by_name:
+            raise ValueError(f"aoe_sources references unknown object {src.object!r}")
+        t_id = type_id_by_name[src.object]
+        for r in range(H):
+            for c in range(W):
+                if static_type[r, c] == t_id and static_kind[r, c] != 0:
+                    aoe_entries.append((r, c, (src, t_id)))
+    NS = max(len(aoe_entries), 1)
+    aoe_src_r = np.zeros((NS,), np.int32)
+    aoe_src_c = np.zeros((NS,), np.int32)
+    aoe_radius = np.zeros((NS,), np.int32)
+    aoe_deltas = np.zeros((NS, R), np.int32)
+    aoe_align = np.zeros((NS,), np.int32)
+    aoe_tags = np.full((NS, max_tags), -1, np.int32)
+    aoe_src_coll = np.full((NS,), -1, np.int32)
+    aoe_valid = np.zeros((NS,), bool)
+    _align_code = {"any": 0, "same_collective": 1, "different_collective": 2}
+    for i, (r, c, (src, t_id)) in enumerate(aoe_entries):
+        aoe_src_r[i], aoe_src_c[i] = r, c
+        aoe_radius[i] = src.aoe.radius
+        for d in src.aoe.deltas:
+            if not (0 <= d.resource_id < R):
+                raise ValueError(f"AOE delta resource_id {d.resource_id} out of range")
+            aoe_deltas[i, d.resource_id] += d.delta
+        aoe_align[i] = _align_code[src.aoe.alignment_filter]
+        tag_ids = list(src.aoe.target_tag_ids)
+        for tname in src.target_tags:
+            if tname not in tag_to_id:
+                raise ValueError(f"AOE target tag {tname!r} not present in config")
+            tag_ids.append(tag_to_id[tname])
+        for k, tg in enumerate(tag_ids[:max_tags]):
+            aoe_tags[i, k] = tg
+        aoe_src_coll[i] = type_collective[t_id]
+        aoe_valid[i] = True
+
+    # --- on-bump activation handlers: frozen to canonical JSON (static) ---
+    on_bump_handlers = [
+        h.model_dump_json() for h in game.on_bump_handlers
+    ]
+
     scan_dr, scan_dc = center_out_scan_order(game.obs.height, game.obs.width)
 
     # worst-case tokens a single cell can emit (static bound for the renderer).
@@ -1023,6 +1082,10 @@ def compile_game(game: GameConfig, game_map: GameMap) -> tuple[CompiledConfig, d
         uproto_valid=uproto_valid,
         clipper_enabled=clipper_enabled, clip_period=clip_period,
         clipper_infection_w=clipper_w,
+        aoe_src_r=aoe_src_r, aoe_src_c=aoe_src_c, aoe_radius=aoe_radius,
+        aoe_deltas=aoe_deltas, aoe_align=aoe_align, aoe_tags=aoe_tags,
+        aoe_src_coll=aoe_src_coll, aoe_valid=aoe_valid,
+        on_bump_handlers=on_bump_handlers,
         coll_inv_class=coll_inv_class, coll_initial_inv=coll_initial_inv,
         coll_aligned_init=coll_aligned_init,
         global_episode_completion=game.global_obs.episode_completion_pct,

@@ -176,6 +176,10 @@ def step_env(state: EnvState, actions, tables: Tables):
         state = apply_regen(state, tables)
     if tables.has_damage:
         state = apply_damage(state, tables, k_damage)
+    if tables.has_aoe:
+        from metta_tpu.engine.activation_wiring import apply_aoe
+
+        state = apply_aoe(state, tables)
     if tables.clipper_enabled and tables.clip_period > 0:
         state = clipper_step(state, tables, k_clip)
 

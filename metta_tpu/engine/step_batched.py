@@ -310,11 +310,24 @@ def step_env_batched(state, actions, tables, render=True):
     else:
         handled_tr = jnp.zeros((A,), bool)
 
+    # ---------- config-driven bump handlers (before the frozen swap, so a
+    # handler targeting frozen agents wins — engine/activation_wiring.py) ----
+    if tables.has_bump_handlers:
+        from metta_tpu.engine.activation_wiring import bump_handlers_batched
+
+        cand_bh = movers & ~handled_attack & ~handled_tr & has_tgt_agent
+        handled_bh, bh_success, state = bump_handlers_batched(
+            state, tables, cand_bh, tgt_agent, tgt_oh, rank, lims
+        )
+        success = success | bh_success
+    else:
+        handled_bh = jnp.zeros((A,), bool)
+
     # ---------- swaps with frozen agents ----------
     handled_station = jnp.zeros((A,), bool)
     if tables.has_swap:
         wants_swap = (
-            movers & ~handled_attack & ~handled_tr & has_tgt_agent
+            movers & ~handled_attack & ~handled_tr & ~handled_bh & has_tgt_agent
             & (from_targets(state.agent_frozen) > 0)
         )
         swap_ok = winner_per_target(wants_swap)
@@ -329,7 +342,7 @@ def step_env_batched(state, actions, tables, render=True):
         success = success | swap_ok
         handled_station = handled_station | wants_swap
 
-    interacted = handled_attack | handled_tr | handled_station
+    interacted = handled_attack | handled_tr | handled_bh | handled_station
 
     # ---------- plain moves: rank-arbitrated rounds ----------
     # (movers whose pre-step target held an agent participate too: the rounds
@@ -410,6 +423,10 @@ def step_env_batched(state, actions, tables, render=True):
         state = apply_regen(state, tables)
     if tables.has_damage:
         state = apply_damage(state, tables, k_damage)
+    if tables.has_aoe:
+        from metta_tpu.engine.activation_wiring import apply_aoe
+
+        state = apply_aoe(state, tables)
     if tables.clipper_enabled and tables.clip_period > 0:
         state = clipper_step(state, tables, k_clip)
 

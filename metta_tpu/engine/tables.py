@@ -101,6 +101,8 @@ class Tables:
         self.any_action_consumed = bool((cfg.action_consumed != 0).any())
         self.any_allow_partial = bool(cfg.type_allow_partial.any())
         self.any_stat_aligned = bool((cfg.stat_src == _C.SRC_ALIGNED).any())
+        self.has_aoe = bool(cfg.aoe_valid.any())
+        self.has_bump_handlers = bool(len(cfg.on_bump_handlers))
         # resources any assembler protocol touches — the batched assembler
         # phase restricts its [K, 8, R] shared-update machinery to these
         used_r = (
@@ -130,7 +132,7 @@ class Tables:
         "has_damage", "has_regen", "has_mods", "has_swap",
         "loot_ids", "any_attack_delta", "any_attack_consumed",
         "any_action_consumed", "any_allow_partial", "any_stat_aligned",
-        "inv_vector_ok", "proto_res",
+        "inv_vector_ok", "proto_res", "has_aoe", "has_bump_handlers",
     )
 
     def tree_flatten(self):

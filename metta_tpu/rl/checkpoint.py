@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import importlib
 import json
+import logging
 import os
 import re
 from pathlib import Path
@@ -28,6 +29,8 @@ import jax
 import numpy as np
 from flax import serialization
 from flax.traverse_util import flatten_dict, unflatten_dict
+
+logger = logging.getLogger(__name__)
 from safetensors.numpy import load_file as st_load
 from safetensors.numpy import save_file as st_save
 
@@ -45,10 +48,20 @@ def _flat_to_params(flat: dict[str, np.ndarray], like=None):
 
 
 def save_policy_bundle(path: str | Path, params, policy_cfg, extra: Optional[dict] = None):
-    """Write ``weights.safetensors`` + ``policy_spec.json`` into ``path``."""
+    """Write ``weights.safetensors`` + ``policy_spec.json`` into ``path``.
+
+    The bundle is staged in a temp dir and renamed into place so a crash
+    mid-write never leaves a half-written bundle that ``list_policies``
+    would pick up (it keys on weights.safetensors existing).
+    """
     path = Path(path)
-    path.mkdir(parents=True, exist_ok=True)
-    st_save(_params_to_flat(params), str(path / "weights.safetensors"))
+    tmp = path.with_name(path.name + ".tmp")
+    if tmp.exists():
+        import shutil
+
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    st_save(_params_to_flat(params), str(tmp / "weights.safetensors"))
     cls = type(policy_cfg)
     spec = {
         "class_path": f"{cls.__module__}.{cls.__qualname__}",
@@ -58,7 +71,12 @@ def save_policy_bundle(path: str | Path, params, policy_cfg, extra: Optional[dic
     }
     if extra:
         spec.update(extra)
-    (path / "policy_spec.json").write_text(json.dumps(spec, indent=2))
+    (tmp / "policy_spec.json").write_text(json.dumps(spec, indent=2))
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    os.replace(tmp, path)
 
 
 def load_policy_bundle(path: str | Path, params_like=None):
@@ -117,26 +135,39 @@ class CheckpointManager:
     # ---- trainer state ----
 
     def save_trainer_state(self, ts, epoch: int, extras: Optional[dict] = None):
-        """Serialize the full TrainState pytree + counters (context_checkpointer parity)."""
+        """Serialize the full TrainState pytree + counters (context_checkpointer parity).
+
+        Writes are atomic (temp file + ``os.replace``): a crash/SIGKILL mid-write
+        must never leave a truncated checkpoint that poisons the next resume.
+        """
         host = jax.tree.map(np.asarray, ts)
-        payload = {
-            "epoch": epoch,
-            "extras": extras or {},
-            "state": serialization.to_bytes(host),
-        }
-        blob = serialization.msgpack_serialize(
+        state_bytes = serialization.to_bytes(host)
+        meta_bytes = serialization.msgpack_serialize(
             {"epoch": epoch, "extras": extras or {}}
         )
-        (self.checkpoint_dir / "trainer_meta.msgpack").write_bytes(blob)
-        (self.checkpoint_dir / "trainer_state.bin").write_bytes(payload["state"])
+        # state first, meta last: a kill between the two renames leaves the
+        # previous meta with the new state — from_bytes targets a fixed
+        # treedef, so the blobs are mutually compatible across epochs.
+        for name, blob in (("trainer_state.bin", state_bytes),
+                           ("trainer_meta.msgpack", meta_bytes)):
+            tmp = self.checkpoint_dir / (name + ".tmp")
+            tmp.write_bytes(blob)
+            os.replace(tmp, self.checkpoint_dir / name)
 
     def load_trainer_state(self, ts_like):
         meta_path = self.checkpoint_dir / "trainer_meta.msgpack"
         state_path = self.checkpoint_dir / "trainer_state.bin"
         if not state_path.exists():
             return None, None
-        meta = serialization.msgpack_restore(meta_path.read_bytes())
-        ts = serialization.from_bytes(ts_like, state_path.read_bytes())
+        try:
+            meta = serialization.msgpack_restore(meta_path.read_bytes())
+            ts = serialization.from_bytes(ts_like, state_path.read_bytes())
+        except Exception as e:  # corrupt checkpoint (e.g. pre-atomic-write kill)
+            logger.warning(
+                "trainer state in %s is unreadable (%s); starting fresh",
+                self.checkpoint_dir, e,
+            )
+            return None, None
         return ts, meta
 
 

@@ -16,10 +16,24 @@ from metta_tpu.config.base import Config
 
 
 class Tool(Config):
-    """Base class: a pydantic config with an ``invoke`` method."""
+    """Base class: a pydantic config with an ``invoke`` method.
+
+    ``device``: force the JAX platform ("cpu" / "tpu") before the tool body
+    runs. Needed because ambient site hooks may import jax at interpreter
+    start, making ``JAX_PLATFORMS`` env overrides too late — the config API
+    still works post-import.
+    """
+
+    device: Optional[str] = None
 
     def invoke(self) -> Optional[int]:
         raise NotImplementedError
+
+    def _apply_device(self) -> None:
+        if self.device:
+            import jax
+
+            jax.config.update("jax_platforms", self.device)
 
 
 def _coerce(value: str) -> Any:
@@ -68,4 +82,5 @@ def cli_entry(argv: Optional[list[str]] = None) -> int:
         return 2
     tool = load_tool(argv[0])
     apply_overrides(tool, argv[1:])
+    tool._apply_device()
     return tool.invoke() or 0
