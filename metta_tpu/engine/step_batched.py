@@ -77,17 +77,33 @@ def step_env_batched_sim(state, actions, tables):
     return step_env_batched(state, actions, tables, render=False)
 
 
+def _ohdot(oh, x):
+    """Exact integer one-hot contraction ``oh @ x`` on the MXU.
+
+    f32 accumulation is exact for the magnitudes here (< 2^24); under vmap
+    this stays one batched GEMM, while the equivalent where+sum materializes
+    a [..., N, M] intermediate per env (HBM-bound at E=4096).
+    """
+    out = jax.lax.dot_general(
+        oh.astype(jnp.float32), x.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)
+
+
 def _lut(table, idx, n):
-    """Gather-free lookup ``table[idx]`` via one-hot sum (idx [A], n rows).
+    """Gather-free lookup ``table[idx]`` via one-hot matmul (idx [A], n rows).
 
     TPU lowers per-lane gathers to serialized scalar loops; for the small
-    decode/config tables here (actions, vibes, types) a masked one-hot
-    reduction is branch-free vector code instead.
+    decode/config tables here (actions, vibes, types) a one-hot GEMM is
+    branch-free vector code instead.
     """
     oh = idx[:, None] == jnp.arange(n)[None, :]
     if table.ndim == 1:
-        return jnp.sum(jnp.where(oh, table[None, :], 0), axis=1)
-    return jnp.sum(jnp.where(oh[:, :, None], table[None, :, :], 0), axis=1)
+        return _ohdot(oh, table[:, None])[:, 0]
+    return _ohdot(oh, table)
 
 
 def _lut_bool(table, idx, n):
@@ -181,18 +197,19 @@ def step_env_batched(state, actions, tables, render=True):
     tgt_oh = (tgt_agent[:, None] == jnp.arange(A)[None, :]) & has_tgt_agent[:, None]
 
     def from_targets(x):
-        """x[t] per-target → value at each actor's target (gather-free)."""
+        """x[t] per-target → value at each actor's target (one-hot GEMM;
+        avoids the [A, A, R] where+sum intermediate, which HBM-binds at
+        E=4096)."""
         if x.ndim == 1:
-            return jnp.sum(jnp.where(tgt_oh, x[None, :], 0), axis=1)
-        return jnp.sum(jnp.where(tgt_oh[:, :, None], x[None, :, :], 0), axis=1)
+            return _ohdot(tgt_oh, x[:, None])[:, 0]
+        return _ohdot(tgt_oh, x)
 
     def sum_to_targets(vals, mask):
         """Σ over actors a with mask[a] of vals[a] into their target slot."""
+        moh = (tgt_oh & mask[:, None]).T                   # [A(target), A(actor)]
         if vals.ndim == 1:
-            return jnp.sum(jnp.where(tgt_oh & mask[:, None], vals[:, None], 0), axis=0)
-        return jnp.sum(
-            jnp.where((tgt_oh & mask[:, None])[:, :, None], vals[:, None, :], 0), axis=0
-        )
+            return _ohdot(moh, vals[:, None])[:, 0]
+        return _ohdot(moh, vals)
 
     def winner_per_target(cands):
         """cands [A] bool, target = tgt_agent; lowest rank per target wins."""
@@ -216,13 +233,8 @@ def step_env_batched(state, actions, tables, render=True):
         weapon = state.agent_inv @ tables.attack_weapon_w               # [A]
         t_vibe = from_targets(vibe)
         voh_t = t_vibe[:, None] == jnp.arange(tables.num_vibes)[None, :]  # [A, V]
-        vibing = jnp.sum(
-            jnp.where(voh_t[:, :, None], tables.vibe_matches_resource[None], False),
-            axis=1, dtype=bool,
-        )                                                                # [A, R]
-        vibe_bonus = jnp.sum(
-            jnp.where(voh_t, tables.attack_vibe_bonus[None, :], 0), axis=1
-        )
+        vibing = _ohdot(voh_t, tables.vibe_matches_resource)             # [A, R]
+        vibe_bonus = _ohdot(voh_t, tables.attack_vibe_bonus[:, None])[:, 0]
         inv_t = from_targets(state.agent_inv)                            # [A, R]
         armor_amounts = inv_t + jnp.where(vibing, vibe_bonus[:, None], 0)
         armor = jnp.sum(armor_amounts * tables.attack_armor_w, axis=1)
@@ -283,12 +295,8 @@ def step_env_batched(state, actions, tables, render=True):
             & has_tgt_agent
         )
         voh = vibe[:, None] == jnp.arange(tables.num_vibes)[None, :]     # [A, V]
-        d_actor = jnp.sum(
-            jnp.where(voh[:, :, None], tables.transfer_actor_delta[None], 0), axis=1
-        )                                                                # [A, R]
-        d_target = jnp.sum(
-            jnp.where(voh[:, :, None], tables.transfer_target_delta[None], 0), axis=1
-        )
+        d_actor = _ohdot(voh, tables.transfer_actor_delta)               # [A, R]
+        d_target = _ohdot(voh, tables.transfer_target_delta)
         req_ok = jnp.all(state.agent_inv >= tables.transfer_required, axis=1)
         valid = wants_tr & (from_targets(state.agent_frozen) <= 0) & req_ok
         valid = winner_per_target(valid)
@@ -568,7 +576,7 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
 
     def cgather(x_na, fill=0):
         """x[NA] -> compacted [K] (unclaimed rows get ``fill``)."""
-        picked = jnp.sum(jnp.where(coh, x_na[None, :], 0), axis=1)
+        picked = _ohdot(coh, x_na[:, None])[:, 0]
         if fill == 0:
             return picked.astype(x_na.dtype)
         any_row = jnp.any(coh, axis=1)
@@ -589,8 +597,8 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         coh.astype(jnp.float32), soh.T.astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ) > 0.5                                                                # [K, A]
-    actor_r = jnp.sum(jnp.where(aoh, state.agent_r[None, :], 0), axis=1)
-    actor_c = jnp.sum(jnp.where(aoh, state.agent_c[None, :], 0), axis=1)
+    actor_r = _ohdot(aoh, state.agent_r[:, None])[:, 0]
+    actor_c = _ohdot(aoh, state.agent_c[:, None])[:, 0]
 
     offs = jnp.array(_NEIGHBOR_OFFS, jnp.int32)
 
@@ -757,7 +765,7 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
 
     # scatter compacted per-station results back to the full NA axis
     def cscatter(v_k):
-        return jnp.sum(jnp.where(coh, v_k[:, None], 0), axis=0)
+        return _ohdot(coh.T, v_k[:, None])[:, 0]
 
     ok_na = jnp.any(coh & ok_v[:, None], axis=0)                           # [NA]
     cooldown_na = cscatter(cooldown_v)

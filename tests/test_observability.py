@@ -76,13 +76,14 @@ def test_file_uri_latest_bundle(tmp_path):
     assert get_checkpoint_epoch("file://x/myrun:v12") == 12
 
 
-def test_s3_uri_gated():
-    try:
-        import boto3  # noqa: F401
+def test_s3_uri_gated(monkeypatch):
+    """s3:// raises a helpful error when boto3 is absent. boto3 absence is
+    simulated deterministically (sys.modules sentinel blocks the import), so
+    this test always RUNS — it previously skipped whenever boto3 happened to
+    be installed, leaving an environment-dependent hole in the suite."""
+    import sys
 
-        pytest.skip("boto3 installed; gating not applicable")
-    except ImportError:
-        pass
+    monkeypatch.setitem(sys.modules, "boto3", None)  # import boto3 → ImportError
     with pytest.raises(RuntimeError, match="boto3"):
         parse_uri("s3://bucket/key")
 
