@@ -354,6 +354,21 @@ class _InventoryClassTable:
         self.group_mod.append(group_mod)
         return len(self.classes) - 1
 
+    def group_mod_any(self) -> bool:
+        return any((gm != 0).any() for gm in self.group_mod)
+
+    def max_base_limit_per_resource(self) -> np.ndarray:
+        """Tightest static inventory-value bound per resource across all
+        classes (valid when no limit modifiers exist)."""
+        R = len(self.resource_names)
+        out = np.zeros((R,), np.int64)
+        if not self.classes:
+            return np.full((R,), INT16_MAX, np.int64)
+        for res_group, group_base in zip(self.res_group, self.group_base):
+            for rid in range(R):
+                out[rid] = max(out[rid], int(group_base[res_group[rid]]))
+        return np.minimum(out, INT16_MAX)
+
     def as_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         C = max(len(self.classes), 1)
         R = len(self.resource_names)
@@ -978,7 +993,26 @@ def compile_game(game: GameConfig, game_map: GameMap) -> tuple[CompiledConfig, d
     # Protocol tokens are emitted only for the selected protocol's *nonzero*
     # inputs/outputs, so the assembler bound is the max nonzero count over all
     # protocols, not 2R (K sizes the renderer's per-cell planes — keep tight).
-    k_agent = 3 + R * n_inv_tokens + max_tags
+    #
+    # Inventory tokens: `inv:<r>:pN` power tokens only appear while
+    # value // base^N > 0, and inventory values are clamped to the class
+    # limits — so the per-resource token count follows from the tightest
+    # provable value bound, not from uint16 range. Feature *ids* keep the
+    # full n_inv_tokens layout (the IdMap compatibility contract); only the
+    # renderer's per-cell plane count shrinks. Limit modifiers make limits
+    # dynamic → fall back to the uint16 bound.
+    if inv_table.group_mod_any():
+        res_value_bound = np.full((R,), INT16_MAX, np.int64)
+    else:
+        res_value_bound = inv_table.max_base_limit_per_resource()
+    # initial inventories are not re-clamped against class limits at reset
+    res_value_bound = np.maximum(res_value_bound, agent_initial_inv.max(axis=0))
+    if chest_initial_inv.size:
+        res_value_bound = np.maximum(res_value_bound, chest_initial_inv.max(axis=0))
+    sum_inv_tokens = int(sum(
+        num_inventory_tokens_needed(int(v), base) for v in res_value_bound
+    ))
+    k_agent = 3 + sum_inv_tokens + max_tags
     k_wall = 1 + max_tags
     if game.protocol_details_obs and (P > 0 or UP > 0):
         nnz = [int((row != 0).sum()) for row in proto_in] + [
@@ -993,7 +1027,7 @@ def compile_game(game: GameConfig, game_map: GameMap) -> tuple[CompiledConfig, d
     else:
         max_proto_tokens = 0
     k_asm = 3 + max_proto_tokens + max_tags + 1
-    k_chest = 1 + R * n_inv_tokens + max_tags
+    k_chest = 1 + sum_inv_tokens + max_tags
     max_tokens_per_cell = max(k_agent, k_wall, k_asm, k_chest)
 
     n_global = (
