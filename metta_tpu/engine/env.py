@@ -94,26 +94,36 @@ class MettaGridEnv:
             _step_env = step_env
 
         # On TPU, the batched step defers the obs render out of the per-env
-        # vmap into one whole-batch Pallas kernel (ops/obs_render2.py,
-        # byte-identical; ~3x over the XLA one-hot formulation). CPU/interpret
-        # keeps the in-vmap "mm" renderer.
+        # vmap into one whole-batch Pallas kernel — the v3 gather kernel
+        # (ops/obs_render3.py, ~3.6x over v2) when the config fits its lane
+        # constraints, else the v2 one-hot kernel. Both byte-identical to the
+        # in-vmap "mm" renderer, which CPU/interpret keeps.
         backend = jax.default_backend()
         self._pl2 = (
             self.step_mode == "batched"
             and backend not in ("cpu",)
         )
+        from metta_tpu.ops.obs_render3 import supports_v3
+
+        self._pl3 = self._pl2 and supports_v3(tables)
 
         def _stepped(vstate_env, actions):
             """vmapped sim step + batched obs render → (env, obs)."""
             if self._pl2:
                 from metta_tpu.ops.obs_render2 import render_obs_pallas2
+                from metta_tpu.ops.obs_render3 import render_obs_pallas3
 
                 env, rew_at_obs = jax.vmap(
                     lambda s, a: _step_env(s, a, tables, render="defer")
                 )(vstate_env, actions)
-                obs = render_obs_pallas2(
-                    env, tables, env.executed_action, rew_at_obs, eps=1
-                )
+                if self._pl3:
+                    obs = render_obs_pallas3(
+                        env, tables, env.executed_action, rew_at_obs
+                    )
+                else:
+                    obs = render_obs_pallas2(
+                        env, tables, env.executed_action, rew_at_obs, eps=1
+                    )
             else:
                 env, obs = jax.vmap(lambda s, a: _step_env(s, a, tables))(
                     vstate_env, actions

@@ -142,8 +142,14 @@ def initial_observations(state: EnvState, tables: Tables):
     return render_observations(state, tables, zeros, jnp.zeros((A,), jnp.float32))
 
 
-def step_env(state: EnvState, actions, tables: Tables):
-    """One environment step. Returns (new_state, obs [A,T,3] uint8)."""
+def step_env(state: EnvState, actions, tables: Tables, perm=None):
+    """One environment step. Returns (new_state, obs [A,T,3] uint8).
+
+    ``perm`` (optional [A] int32) overrides the per-step random agent order —
+    used by the C++ differential harness to enumerate/inject the reference's
+    ``std::shuffle`` order (``mettagrid_c.cpp:591-593``) in contested
+    scenarios where outcomes are order-dependent.
+    """
     A = tables.num_agents
 
     key, k_perm, k_damage, k_clip = jax.random.split(state.key, 4)
@@ -156,7 +162,8 @@ def step_env(state: EnvState, actions, tables: Tables):
     )
 
     # randomized agent order (mettagrid_c.cpp:591-593)
-    perm = jax.random.permutation(k_perm, A)
+    if perm is None:
+        perm = jax.random.permutation(k_perm, A)
 
     def body(i, st):
         a = perm[i]

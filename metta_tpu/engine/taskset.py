@@ -157,6 +157,11 @@ class MultiTaskEnv:
 
         backend = jax.default_backend()
         self._pl2 = self.step_mode == "batched" and backend not in ("cpu",)
+        from metta_tpu.ops.obs_render3 import supports_v3
+
+        # static shapes (K, NB, T, window) are shared across the stacked
+        # tasks, so one v3 applicability check covers the whole set
+        self._pl3 = self._pl2 and supports_v3(tables0)
 
         def _fresh_batch(ts: TaskSetData, keys, task_id):
             """Reset-target state+obs for each env from its task's template."""
@@ -178,14 +183,18 @@ class MultiTaskEnv:
         def _stepped(ts, env_state, task_id, actions):
             if self._pl2:
                 from metta_tpu.ops.obs_render2 import render_obs_pallas2
+                from metta_tpu.ops.obs_render3 import render_obs_pallas3
 
                 env, rew_at_obs = jax.vmap(
                     lambda s, a, tid: _step_env(
                         s, a, _tables_at(ts.tables, tid), render="defer"
                     )
                 )(env_state, actions, task_id)
-                obs = render_obs_pallas2(
-                    env, tables0, env.executed_action, rew_at_obs, eps=1,
+                render = render_obs_pallas3 if self._pl3 else (
+                    lambda *a, **kw: render_obs_pallas2(*a, eps=1, **kw)
+                )
+                obs = render(
+                    env, tables0, env.executed_action, rew_at_obs,
                     stacked_tables=ts.tables, task_id=task_id,
                 )
             else:

@@ -266,12 +266,13 @@ def _static_cols(tables, A) -> np.ndarray:
     return out
 
 
-def prep_env(state, tables, ea, rw):
-    """Per-env XLA prep for the pallas renderer: compacted block token table,
-    combined agent+static block grid, global tokens, agent positions.
+def prep_core(state, tables, ea, rw):
+    """Per-env XLA prep shared by the v2/v3 pallas renderers: raw compacted
+    block token planes, combined agent+static block grid, global token
+    planes, agent positions.
 
-    Shared by ``render_obs_pallas2`` and the profiling scripts so the profile
-    always decomposes exactly what the renderer runs.
+    Returns (comp_feat, comp_val, counts [NB,K]/[NB] f32/i32, sb [H,W] i32
+    combined block grid, g_count [A], g_loc/g_feat/g_val [A, Gp], rc [A,2]).
     """
     from metta_tpu.engine.obs import (
         build_agent_blocks,
@@ -309,9 +310,6 @@ def prep_env(state, tables, ea, rw):
         jnp.zeros((1, K), bool), agent_ok, wall_ok, asm_ok, chest_ok,
     ])
     comp_feat, comp_val, counts = _compact_blocks_mm(blocks, oks, K)
-    comp_plus = jnp.concatenate(
-        [comp_feat, comp_val, counts.astype(jnp.float32)[:, None]], axis=1
-    ).astype(jnp.bfloat16)
 
     off_wall = 1 + A
     off_asm = off_wall + NT
@@ -328,13 +326,30 @@ def prep_env(state, tables, ea, rw):
     # ids 1..A): one combined grid read in the kernel replaces the
     # position-match machinery
     sb = jnp.where(state.agent_grid > 0, state.agent_grid, sb)
-    sbp = jnp.pad(sb, ((ohr, ohr), (owr, owr))).astype(jnp.bfloat16)
 
     g_count, g_loc, g_feat, g_val = _global_tokens_all(
         state, tables, ea, rw, H // 2, W // 2, ohr, owr
     )
-    g3 = jnp.stack([g_loc, g_feat, g_val], axis=0)     # [3, A, Gp]
     rc = jnp.stack([state.agent_r, state.agent_c], axis=1)   # [A, 2]
+    return comp_feat, comp_val, counts, sb, g_count, g_loc, g_feat, g_val, rc
+
+
+def prep_env(state, tables, ea, rw):
+    """Per-env XLA prep for the v2 pallas renderer: compacted block token
+    table, combined agent+static block grid, global tokens, agent positions.
+
+    Shared by ``render_obs_pallas2`` and the profiling scripts so the profile
+    always decomposes exactly what the renderer runs.
+    """
+    WIN = int(tables.obs_height)
+    ohr, owr = WIN // 2, int(tables.obs_width) // 2
+    (comp_feat, comp_val, counts, sb,
+     g_count, g_loc, g_feat, g_val, rc) = prep_core(state, tables, ea, rw)
+    comp_plus = jnp.concatenate(
+        [comp_feat, comp_val, counts.astype(jnp.float32)[:, None]], axis=1
+    ).astype(jnp.bfloat16)
+    sbp = jnp.pad(sb, ((ohr, ohr), (owr, owr))).astype(jnp.bfloat16)
+    g3 = jnp.stack([g_loc, g_feat, g_val], axis=0)     # [3, A, Gp]
     return (sbp, comp_plus,
             rc.astype(jnp.float32), g_count.astype(jnp.float32)[:, None],
             g3)

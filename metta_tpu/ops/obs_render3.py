@@ -1,0 +1,380 @@
+"""Pallas TPU token-observation renderer, v3 (gather formulation).
+
+Byte-identical to ``engine/obs.py:render_observations_ref`` (reference:
+``bindings/mettagrid_c.cpp:397-563``, ``systems/observation_encoder.hpp``)
+and to the v2 kernel (``obs_render2.py``), but built on Mosaic's per-lane
+dynamic gather (``take_along_axis`` along a 128-lane tile) instead of one-hot
+compares — the v2 formulation spends ~3M VPU elements per env on
+``[A·128, Hp/Wp/NB/Tp]`` one-hot masks; this one spends <1M:
+
+- **window read**: one row-select GEMM per env at ``[A·16, Hp]`` (window
+  *rows*, not window cells — 11x fewer one-hot rows than v2), then ONE lane
+  gather extracts each row's 16-col window span. No ``[A·128, Wp]`` masks.
+- **rank repack**: a static lane gather re-orders window cells into the
+  center-out scan order (``packed_coordinate.hpp:74-140``) for free — v2
+  carried the rank permutation as a [128,128] prefix matmul instead.
+- **decode**: per-cell token data is fetched by gathering pre-packed i32
+  lanes from the per-env block table (``(feat<<8|val)`` pairs packed two per
+  int32 in prep) — replaces the ``[A·128, NB]`` one-hot + GEMM.
+- **scatter**: the cell→token-slot scatter runs *backwards* as a 7-step
+  binary search over the (monotone, rank-ordered) prefix-summed token starts,
+  then one gather per packed value plane — replacing v2's per-agent
+  ``[128, Tp]`` one-hot scatter GEMMs AND the K-deep antidiagonal
+  roll-accumulate.
+
+All small ops are batched over the ``eps`` envs of a grid step in the
+sublane dimension, so per-op issue overhead amortizes; the only per-env
+work is the window-read GEMM. Agent-row arrays switch from env-major to
+agent-major layout after the window read (one sublane transpose) so the
+per-env decode tables can enter the gathers as ``pltpu.repeat`` tilings.
+
+Constraints (``supports_v3`` — else fall back to v2): NB ≤ 128 block ids,
+window ≤ 16x16 with ≤ 128 cells, map width + 16 ≤ 128, feature ids and
+values < 256 (the engine's token byte contract).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metta_tpu.ops.obs_render2 import prep_core
+
+EMPTY = 255
+LW = 16             # lanes per window row in the sparse layout (pow2 >= WW)
+RW = 16             # sublane rows per agent in the window-read layout
+
+
+def _statics3(tables, A: int, EPS: int):
+    """Host-side static operand pack for the v3 kernel."""
+    WH = int(tables.obs_height)
+    WW = int(tables.obs_width)
+    ohr, owr = WH // 2, WW // 2
+    S = WH * WW
+    G1 = A * RW
+
+    scan_dr = np.asarray(tables.scan_dr)
+    scan_dc = np.asarray(tables.scan_dc)
+
+    # rank r -> window cell (wr, wc); pads point at a poisoned row
+    wr_of = np.full((128,), RW - 1, np.int32)
+    wc_of = np.full((128,), LW - 1, np.int32)
+    loc_of = np.zeros((128,), np.int32)
+    for r in range(S):
+        wr, wc = int(scan_dr[r]) + ohr, int(scan_dc[r]) + owr
+        wr_of[r], wc_of[r] = wr, wc
+        loc_of[r] = (wr << 4) | wc
+    tid = np.where(np.arange(128) < S, wr_of, 255).astype(np.int32)
+
+    # per-(agent, wr) static window-row offset; poison pad rows so their
+    # row one-hot misses every grid row
+    wrcol = np.full((G1, 1), 1e6, np.float32)
+    for a in range(A):
+        wrcol[a * RW : a * RW + WH, 0] = np.arange(WH, dtype=np.float32)
+    wrcol = np.tile(wrcol, (EPS, 1))
+
+    # static block-diagonal broadcast selector: row (e, a, wr) <- rc[(e, a)]
+    bsel = np.zeros((EPS * G1, EPS * A), np.float32)
+    for e in range(EPS):
+        for a in range(A):
+            bsel[e * G1 + a * RW : e * G1 + (a + 1) * RW, e * A + a] = 1.0
+
+    trilT = (np.arange(128)[:, None] < np.arange(128)[None, :]).astype(np.float32)
+
+    return dict(
+        bsel=jnp.asarray(bsel, jnp.bfloat16)[None],
+        wrcol=jnp.asarray(wrcol)[None],
+        hlane=jnp.arange(128, dtype=jnp.float32)[None, None, :],
+        lane16=(jnp.arange(128, dtype=jnp.int32) % LW)[None, None, :],
+        spw=jnp.asarray(wc_of)[None, None, :],
+        tid=jnp.asarray(tid)[None, None, :],
+        locr=jnp.asarray(loc_of)[None, None, :],
+        trilT=jnp.asarray(trilT, jnp.bfloat16)[None],
+    )
+
+
+def _obs3_kernel(sb_ref, cq_ref, rc_ref, gcnt_ref, g3p_ref,
+                 bsel_ref, wrcol_ref, hlane_ref, lane16_ref, spw_ref,
+                 tid_ref, locr_ref, tril_ref, tl_ref, out_ref,
+                 *, A, T, K, NQ, Hp, Gp, WH, EPS, Tp):
+    i32 = jnp.int32
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    G1 = A * RW
+    AE = A * EPS
+    NTC = Tp // 128
+
+    bsel = bsel_ref[0]                   # [EPS*G1, EPS*A] bf16
+    wrcol = wrcol_ref[0]                 # [EPS*G1 tiled? no: G1,1] — tiled below
+    hlane = hlane_ref[0]                 # [1, 128] f32
+    lane16 = lane16_ref[0]               # [1, 128] i32
+    spw = spw_ref[0]                     # [1, 128] i32
+    tid = tid_ref[0]                     # [1, 128] i32
+    locr = locr_ref[0]                   # [1, 128] i32
+    tril = tril_ref[0]                   # [128, 128] bf16
+    tl = tl_ref[0]                       # [1, Tp] i32
+
+    def gatherT(tab, idx):
+        """tab [AE, 128], idx [AE, Tp] -> [AE, Tp], per-row lane gather."""
+        outs = [
+            jnp.take_along_axis(tab, idx[:, c * 128 : (c + 1) * 128], axis=1)
+            for c in range(NTC)
+        ]
+        return jnp.concatenate(outs, axis=1) if NTC > 1 else outs[0]
+
+    # ---- window-row origin broadcast (one static block-diag GEMM) ----
+    rcg = jnp.reshape(rc_ref[...], (EPS * A, 2)).astype(bf16)
+    rc2 = jax.lax.dot_general(
+        bsel, rcg, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )                                                  # [EPS*G1, 2]
+    rows = rc2[:, 0:1] + wrcol                         # poisoned pad rows miss
+    c0i = rc2[:, 1:2].astype(i32)
+
+    # ---- window read: per-env row-select GEMM + one col gather ----
+    row_oh = (rows == hlane).astype(bf16)              # [EPS*G1, 128]
+    ps = []
+    for e in range(EPS):
+        ps.append(jax.lax.dot_general(
+            row_oh[e * G1 : (e + 1) * G1, :Hp], sb_ref[e],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ))
+    P = jnp.concatenate(ps, axis=0) if EPS > 1 else ps[0]   # [EPS*G1, 128]
+    idx2 = c0i + lane16                                # cols c0..c0+15 tiled x8
+    Wv = jnp.take_along_axis(P, idx2, axis=1)          # [EPS*G1, 128] f32
+
+    # ---- rank repack: window cells -> center-out rank order lanes ----
+    Wf = jnp.reshape(Wv, (EPS * A, RW * 128))          # lane (wr*128 + l)
+    dense = jnp.zeros((EPS * A, 128), f32)
+    for t in range(WH):
+        part = jnp.take_along_axis(
+            Wf[:, t * 128 : (t + 1) * 128], jnp.broadcast_to(spw, (EPS * A, 128)),
+            axis=1,
+        )
+        dense = jnp.where(tid == t, part, dense)
+    Xi = dense.astype(i32)                             # ranked block ids
+
+    # ---- switch to agent-major rows so per-env tables tile via repeat ----
+    Xa = jnp.reshape(
+        jnp.transpose(jnp.reshape(Xi, (EPS, A, 128)), (1, 0, 2)), (AE, 128)
+    )
+
+    # ---- decode: packed token pairs + counts by table gather ----
+    Vq = []
+    for j in range(NQ + 1):
+        op = pltpu.repeat(cq_ref[:, j, :], A, 0)       # [AE, 128] a-major
+        Vq.append(jnp.take_along_axis(op, Xa, axis=1))
+    counts_r = Vq[NQ]
+
+    # ---- prefix over ranks (counts <= K and sums < 2^11: bf16/f32 exact) ----
+    gcnt = jnp.reshape(gcnt_ref[...], (AE, 1))
+    start = jax.lax.dot_general(
+        counts_r.astype(bf16), tril, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(i32) + gcnt                               # [AE, 128]
+    total = start[:, 127:128] + counts_r[:, 127:128]
+
+    # ---- inverse scatter: binary search cell(t) over monotone starts ----
+    lo = jnp.zeros((AE, Tp), i32)
+    slo = jnp.broadcast_to(gcnt, (AE, Tp))
+    for b in (64, 32, 16, 8, 4, 2, 1):
+        mid = lo + b
+        smid = gatherT(start, mid)
+        cond = smid <= tl
+        lo = jnp.where(cond, mid, lo)
+        slo = jnp.where(cond, smid, slo)
+    k = tl - slo                                       # intra-cell token slot
+    kj = k >> 1
+
+    q = jnp.zeros((AE, Tp), i32)
+    for j in range(NQ):
+        q = q + gatherT(Vq[j], lo) * (kj == j).astype(i32)
+    sel = jnp.where((k & 1) == 0, (q >> 16) & 0xFFFF, q & 0xFFFF)
+    locv = gatherT(jnp.broadcast_to(locr, (AE, 128)), lo)
+    q24 = (locv << 16) | sel
+
+    # ---- global tokens occupy slots [0, gcnt) ----
+    g3p = jnp.reshape(g3p_ref[...], (AE, Gp))
+    g3pad = jnp.concatenate(
+        [g3p, jnp.zeros((AE, Tp - Gp), i32)], axis=1
+    )
+    q24 = jnp.where(tl < gcnt, g3pad, q24)
+
+    # ---- truncate + unpack to byte planes ----
+    tm = tl < total
+    emp = jnp.int32(EMPTY)
+    planes = (
+        jnp.where(tm, (q24 >> 16) & 255, emp),
+        jnp.where(tm, (q24 >> 8) & 255, emp),
+        jnp.where(tm, q24 & 255, emp),
+    )
+    for p in range(3):
+        out_ref[:, p] = jnp.reshape(
+            planes[p].astype(jnp.uint8), (A, EPS, Tp)
+        )[:, :, :T]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("A", "T", "K", "NQ", "Hp", "Gp", "WH", "EPS", "Tp",
+                     "interpret"),
+)
+def _call_kernel3(sb, cq, rc, gcnt_t, g3p_t, statics_tuple,
+                  *, A, T, K, NQ, Hp, Gp, WH, EPS, Tp, interpret=False):
+    (bsel, wrcol, hlane, lane16, spw, tid, locr, trilT, tl) = statics_tuple
+    E = sb.shape[0]
+    assert E % EPS == 0
+    G1 = A * RW
+    kernel = functools.partial(
+        _obs3_kernel, A=A, T=T, K=K, NQ=NQ, Hp=Hp, Gp=Gp, WH=WH, EPS=EPS,
+        Tp=Tp,
+    )
+    flops = EPS * 2 * (G1 * Hp * 128 + G1 * EPS * A + A * 128 * 128)
+    zero3 = lambda i: (0, 0, 0)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((A, 3, E, T), jnp.uint8),
+        grid=(E // EPS,),
+        in_specs=[
+            pl.BlockSpec((EPS, Hp, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EPS, NQ + 1, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EPS, A, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, EPS, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, EPS, Gp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EPS * G1, EPS * A), zero3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EPS * G1, 1),
+                         lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), zero3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), zero3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), zero3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), zero3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), zero3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, 128), zero3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tp), zero3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((A, 3, EPS, T), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=EPS * (Hp * 128 * 2 + (NQ + 1) * 128 * 4
+                                  + 3 * A * T),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(sb, cq, rc, gcnt_t, g3p_t, bsel, wrcol, hlane, lane16, spw, tid,
+      locr, trilT, tl)
+    return out
+
+
+def prep_env3(state, tables, ea, rw):
+    """Per-env XLA prep for the v3 kernel: padded block grid, packed token
+    table (two (feat<<8|val) pairs per int32 lane + counts), agent positions,
+    packed global tokens."""
+    WH = int(tables.obs_height)
+    WW = int(tables.obs_width)
+    ohr, owr = WH // 2, WW // 2
+    W = tables.width
+    K = tables.max_tokens_per_cell
+    NQ = (K + 1) // 2
+
+    (comp_feat, comp_val, counts, sb,
+     g_count, g_loc, g_feat, g_val, rc) = prep_core(state, tables, ea, rw)
+
+    NB = comp_feat.shape[0]
+    p16 = comp_feat.astype(jnp.int32) * 256 + comp_val.astype(jnp.int32)
+    if K % 2:
+        p16 = jnp.concatenate([p16, jnp.zeros((NB, 1), jnp.int32)], axis=1)
+    q = (p16[:, 0::2] << 16) | p16[:, 1::2]            # [NB, NQ]
+    cqt = jnp.concatenate(
+        [q.T, counts.astype(jnp.int32)[None, :]], axis=0
+    )                                                   # [NQ+1, NB]
+    cqt = jnp.pad(cqt, ((0, 0), (0, 128 - NB)))
+
+    sbp = jnp.pad(sb, ((ohr, ohr), (owr, 128 - W - owr))).astype(jnp.bfloat16)
+
+    g3p = (
+        (g_loc.astype(jnp.int32) << 16)
+        | (g_feat.astype(jnp.int32) << 8)
+        | g_val.astype(jnp.int32)
+    )                                                   # [A, Gp]
+    return (sbp, cqt, rc.astype(jnp.bfloat16),
+            g_count.astype(jnp.int32)[:, None], g3p)
+
+
+def supports_v3(tables) -> bool:
+    WH = int(tables.obs_height)
+    WW = int(tables.obs_width)
+    NB = (1 + tables.num_agents + tables.n_object_types
+          + tables.n_assembler_slots + tables.n_chest_slots)
+    return (
+        WH <= RW and WW <= LW and WH * WW <= 128
+        and NB <= 128
+        and tables.width + LW <= 128
+        and tables.height + 2 * (WH // 2) <= 128
+    )
+
+
+def render_obs_pallas3(state_b, tables, executed_actions_b, rewards_b,
+                       eps: int = 8, interpret: bool = False,
+                       stacked_tables=None, task_id=None):
+    """Batched obs render → [E, A, T, 3] uint8 (byte-identical to obs_mm/v2).
+
+    Same call contract as ``render_obs_pallas2`` (including the multi-task
+    ``stacked_tables``/``task_id`` path); requires ``supports_v3(tables)``.
+    """
+    A = tables.num_agents
+    T = tables.num_obs_tokens
+    K = tables.max_tokens_per_cell
+    WH = int(tables.obs_height)
+    ohr = WH // 2
+    Hp = tables.height + 2 * ohr
+    NQ = (K + 1) // 2
+    Tp = max(((T + 127) // 128) * 128, 256)
+    E = state_b.agent_r.shape[0]
+    # Mosaic block shapes need the (second-to-last) eps dim divisible by 8,
+    # or equal to the full batch
+    eps = min(eps, E)
+    if E > 8:
+        eps = max(8, (eps // 8) * 8)
+        while E % eps:
+            eps -= 8
+    else:
+        eps = E
+
+    if stacked_tables is not None:
+        def prep_mt(state, ea, rw, tid):
+            te = jax.tree.map(lambda x: x[tid], stacked_tables)
+            return prep_env3(state, te, ea, rw)
+
+        sbp, cqt, rc, gcnt, g3p = jax.vmap(prep_mt)(
+            state_b, executed_actions_b, rewards_b, task_id
+        )
+    else:
+        sbp, cqt, rc, gcnt, g3p = jax.vmap(
+            lambda s, ea, rw: prep_env3(s, tables, ea, rw)
+        )(state_b, executed_actions_b, rewards_b)
+    Gp = int(g3p.shape[2])
+
+    st = _statics3(tables, A, eps)
+    statics = (st["bsel"], st["wrcol"], st["hlane"], st["lane16"],
+               st["spw"], st["tid"], st["locr"], st["trilT"],
+               jnp.arange(Tp, dtype=jnp.int32)[None, None, :])
+
+    gcnt_t = jnp.transpose(gcnt, (1, 0, 2))            # [A, E, 1]
+    g3p_t = jnp.transpose(g3p, (1, 0, 2))              # [A, E, Gp]
+
+    out = _call_kernel3(
+        sbp, cqt, rc, gcnt_t, g3p_t, statics,
+        A=A, T=T, K=K, NQ=NQ, Hp=Hp, Gp=Gp, WH=WH, EPS=eps, Tp=Tp,
+        interpret=interpret,
+    )                                                  # [A, 3, E, T]
+    return jnp.transpose(out, (2, 0, 3, 1))            # [E, A, T, 3]

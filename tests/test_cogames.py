@@ -12,6 +12,9 @@ from metta_tpu.testing import noop_actions
 @pytest.fixture(scope="module")
 def mission_env():
     cfg = make_mission("basic", num_agents=2, width=16, height=16, max_steps=100)
+    # MapGen draws from OS entropy when unseeded — pin it so agent placement
+    # (and therefore bump/transfer interactions) is deterministic across runs
+    cfg.game.map_builder.seed = 42
     cfg.desync_episodes = False
     return MettaGridEnv(cfg, num_envs=1)
 
@@ -36,6 +39,7 @@ def test_energy_economy(mission_env):
 def test_clipped_mission_compiles():
     cfg = make_mission("clipped", num_agents=2, width=16, height=16, max_steps=50,
                        with_clipper=True)
+    cfg.game.map_builder.seed = 42
     cfg.desync_episodes = False
     env = MettaGridEnv(cfg, num_envs=1)
     env.reset(seed=0)
