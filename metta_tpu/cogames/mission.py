@@ -224,6 +224,28 @@ class Mission(Config):
                 "oxygen_extractor": self.oxygen_extractor.station_cfg(),
                 "germanium_extractor": self.germanium_extractor.station_cfg(),
                 "silicon_extractor": self.silicon_extractor.station_cfg(),
+                # resource-specific chests for diagnostic missions (simplified
+                # default-vibe transfers so restricted vibe sets still work) —
+                # parity: cogs_vs_clips/mission.py:244-266
+                **{
+                    f"chest_{res}": self.chest.station_cfg().model_copy(
+                        update={
+                            "map_name": f"chest_{res}",
+                            "vibe_transfers": {"default": {res: 255}},
+                        }
+                    )
+                    for res in ("carbon", "oxygen", "germanium", "silicon")
+                },
+                # start-clipped extractor variants with unique map_names for
+                # maps that explicitly place clipped stations — parity:
+                # cogs_vs_clips/mission.py:268-283
+                **{
+                    f"clipped_{res}_extractor": getattr(self, f"{res}_extractor")
+                    .model_copy(update={"start_clipped": True})
+                    .station_cfg()
+                    .model_copy(update={"map_name": f"clipped_{res}_extractor"})
+                    for res in ("carbon", "oxygen", "germanium", "silicon")
+                },
             },
         )
         env = MettaGridConfig(label=self.full_name(), game=game)

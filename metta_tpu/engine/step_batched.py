@@ -574,31 +574,38 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
     # coh[k, s] = station s is the k-th claimed station
     coh = (crank[None, :] == jnp.arange(K)[:, None]) & claimed[None, :]    # [K, NA]
 
-    def cgather(x_na, fill=0):
-        """x[NA] -> compacted [K] (unclaimed rows get ``fill``)."""
-        picked = _ohdot(coh, x_na[:, None])[:, 0]
-        if fill == 0:
-            return picked.astype(x_na.dtype)
-        any_row = jnp.any(coh, axis=1)
-        return jnp.where(any_row, picked, fill).astype(x_na.dtype)
-
-    c_station = cgather(jnp.arange(NA, dtype=jnp.int32))                   # [K]
+    # one packed compaction GEMM for every per-station field (each previously
+    # its own [K, NA] x [NA, 1] one-hot matmul — 10 fusion-breaking batched
+    # GEMMs per step at E=4096)
+    fields_na = jnp.stack([
+        state.asm_type, state.asm_r, state.asm_c, state.asm_uses,
+        state.asm_cooldown_end, state.asm_cooldown_duration,
+        state.asm_clipped.astype(jnp.int32), state.asm_unclip_proto,
+        claim, state.asm_valid.astype(jnp.int32),
+    ], axis=1)                                                             # [NA, 10]
+    cfields = _ohdot(coh, fields_na)                                       # [K, 10]
+    c_type = cfields[:, 0]
+    c_asm_r, c_asm_c = cfields[:, 1], cfields[:, 2]
+    c_uses, c_cd_end, c_cd_dur = cfields[:, 3], cfields[:, 4], cfields[:, 5]
+    c_clipped = cfields[:, 6] != 0
+    c_uproto = cfields[:, 7]
+    c_claim = cfields[:, 8]
+    c_valid = cfields[:, 9] != 0
     c_rowvalid = jnp.any(coh, axis=1)                                      # [K]
 
     # per-station type properties (one-hot LUT over the NT types)
     NT = int(tables.type_max_uses.shape[0])
-    c_type = cgather(state.asm_type)
     max_uses = _lut(tables.type_max_uses, c_type, NT)
     allow_partial = _lut_bool(tables.type_allow_partial, c_type, NT)
 
-    # actor position/fields per claimed station (compose the two one-hots:
-    # agent -> station -> compact row)
+    # actor position per claimed station (compose the two one-hots:
+    # agent -> station -> compact row; one GEMM for both coordinates)
     aoh = jax.lax.dot_general(
         coh.astype(jnp.float32), soh.T.astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ) > 0.5                                                                # [K, A]
-    actor_r = _ohdot(aoh, state.agent_r[:, None])[:, 0]
-    actor_c = _ohdot(aoh, state.agent_c[:, None])[:, 0]
+    arc = _ohdot(aoh, jnp.stack([state.agent_r, state.agent_c], axis=1))
+    actor_r, actor_c = arc[:, 0], arc[:, 1]
 
     offs = jnp.array(_NEIGHBOR_OFFS, jnp.int32)
 
@@ -618,9 +625,12 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
     expand_m[_np.arange(Rp), _np.array(PR)] = 1.0
     expand_m = jnp.asarray(expand_m)
 
-    def per_station(claim_i, claimed_i, valid_i, t_i, ar_, ac_, uses_i,
-                    cd_end_i, cd_dur_i, clipped, uproto_i, max_uses_i,
-                    allow_partial_i, actor_r_i, actor_c_i):
+    def per_station_pre(claim_i, claimed_i, valid_i, t_i, ar_, ac_, uses_i,
+                        cd_end_i, cd_dur_i, clipped, uproto_i, max_uses_i,
+                        allow_partial_i, actor_r_i, actor_c_i):
+        """Gather-free per-station work: protocol selection, neighbor ranks,
+        amounts. The inventory-row lookups and shared_update run hoisted
+        across all K stations afterwards (single one-hot GEMMs)."""
         do = claimed_i & valid_i
 
         ok = do & ((max_uses_i == 0) | (uses_i < max_uses_i))
@@ -636,7 +646,17 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         nb_idx = jnp.sum(jnp.where(match, jnp.arange(A)[None, :], 0), axis=1)
         vibes = jnp.sum(jnp.where(match, state.agent_vibe[None, :], 0), axis=1)
         vibes = jnp.where(nb_is_agent, vibes, 0)
-        key_vec = jnp.sort(vibes)
+        # sorted vibe key via counting sort (values < V): sorted[j] = #{v :
+        # cum(v) <= j} — two whole-array ops instead of an XLA sort of tiny
+        # segments (the lowered per-station jnp.sort dominated this phase)
+        cnt_v = jnp.sum(
+            (vibes[:, None] == jnp.arange(V)[None, :]).astype(jnp.int32), axis=0
+        )                                                  # [V]
+        cum_v = jnp.cumsum(cnt_v)
+        key_vec = jnp.sum(
+            (cum_v[None, :] <= jnp.arange(8)[:, None]).astype(vibes.dtype),
+            axis=1,
+        )
         n_agents = jnp.sum(nb_is_agent.astype(jnp.int32))
 
         p_norm = select_protocol(tables, t_i, key_vec, n_agents)
@@ -693,11 +713,6 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         ref_valid = jnp.any(poh & nb_is_agent[None, :], axis=1)
         v8 = jnp.sum(jnp.where(poh, vibes[None, :], 0), axis=1)
 
-        rows = _gather_rows(ref_idx, ref_valid, inv_p, A)                  # [8, Rp]
-        lim_rows = _gather_rows(ref_idx, ref_valid, lims_p, A)
-        totals = jnp.sum(jnp.where(ref_valid[:, None], rows, 0), axis=0)
-        ok = ok & jnp.all((inputs == 0) | (totals >= inputs))
-
         # output selection: occurrence-index trick replaces the sequential loop
         v8c = jnp.clip(v8, 0, V - 1)
         voh8 = v8c[:, None] == jnp.arange(V)[None, :]                     # [8, V]
@@ -709,10 +724,33 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         out_valid = jnp.where(use_multi, sel, jnp.arange(8) == 0)
         actor = jnp.clip(claim_i, 0, A - 1)
         out_idx = jnp.where(use_multi, ref_idx, jnp.full((8,), actor))
-        out_rows = _gather_rows(out_idx, out_valid, inv_p, A)
-        out_lims = _gather_rows(out_idx, out_valid, lims_p, A)
+        return (ok, clipped, inputs, outputs, cooldown,
+                ref_idx, ref_valid, out_idx, out_valid)
+
+    (ok_v, clipped_v, inputs_v, outputs_v, cooldown_v,
+     in_idx, in_val, out_idx, out_val) = jax.vmap(per_station_pre)(
+        c_claim, c_rowvalid, c_valid,
+        c_type, c_asm_r, c_asm_c,
+        c_uses, c_cd_end,
+        c_cd_dur, c_clipped,
+        c_uproto, max_uses, allow_partial,
+        actor_r, actor_c,
+    )
+
+    # ---- hoisted inventory lookups: one [K*8, A] one-hot GEMM each instead
+    # of K batched [8, A] ones ----
+    rows_k = _gather_rows(in_idx, in_val, inv_p, A)                    # [K, 8, Rp]
+    lim_rows_k = _gather_rows(in_idx, in_val, lims_p, A)
+    out_rows_k = _gather_rows(out_idx, out_val, inv_p, A)
+    out_lims_k = _gather_rows(out_idx, out_val, lims_p, A)
+
+    def per_station_fin(ok, clipped, inputs, outputs, ref_valid, rows,
+                        lim_rows, out_valid, out_rows, out_lims):
+        totals = jnp.sum(jnp.where(ref_valid[:, None], rows, 0), axis=0)
+        ok = ok & jnp.all((inputs == 0) | (totals >= inputs))
         total_free = jnp.sum(
-            jnp.where(out_valid[:, None], jnp.maximum(out_lims - out_rows, 0), 0), axis=0
+            jnp.where(out_valid[:, None], jnp.maximum(out_lims - out_rows, 0), 0),
+            axis=0,
         )
         has_output = jnp.any(outputs > 0)
         can_absorb = jnp.any((outputs > 0) & (total_free >= 1))
@@ -724,17 +762,11 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         out_deltas = _local_shared_consume(
             out_rows, out_lims, out_valid, jnp.where(ok, outputs, 0)
         )
-        return ok, ref_idx, ref_valid, in_deltas, out_idx, out_valid, out_deltas, cooldown
+        return ok, in_deltas, out_deltas
 
-    (ok_v, in_idx, in_val, in_d, out_idx, out_val, out_d, cooldown_v) = jax.vmap(
-        per_station
-    )(
-        cgather(claim), c_rowvalid, cgather(state.asm_valid),
-        c_type, cgather(state.asm_r), cgather(state.asm_c),
-        cgather(state.asm_uses), cgather(state.asm_cooldown_end),
-        cgather(state.asm_cooldown_duration), cgather(state.asm_clipped),
-        cgather(state.asm_unclip_proto), max_uses, allow_partial,
-        actor_r, actor_c,
+    ok_v, in_d, out_d = jax.vmap(per_station_fin)(
+        ok_v, clipped_v, inputs_v, outputs_v, in_val, rows_k, lim_rows_k,
+        out_val, out_rows_k, out_lims_k,
     )
 
     # write back all deltas via one one-hot matmul, expanded from the

@@ -216,7 +216,10 @@ class LSTMCell(nn.Module):
 
 class CausalConvCell(nn.Module):
     """Depthwise causal conv1d with a ring-buffer state (reference
-    ``cells/conv.py``): step output = sum_k w_k x_{t-K+1+k} + b."""
+    ``cells/conv.py``): step output = sum_k w_k x_{t-K+1+k} + b.
+
+    Sequence mode (x [T, B, H]): one depthwise ``lax.conv`` over the whole
+    segment instead of T ring-buffer steps — bit-identical to stepping."""
 
     spec: CellSpec
 
@@ -226,6 +229,18 @@ class CausalConvCell(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(), (K, H))
         b = self.param("bias", nn.initializers.zeros, (H,))
         buf = state["buf"]  # [B, K-1, H] of past inputs (oldest first)
+        if x.ndim == 3:
+            full = jnp.concatenate(
+                [buf, jnp.transpose(x, (1, 0, 2))], axis=1
+            )                                             # [B, K-1+T, H]
+            y = jax.lax.conv_general_dilated(
+                full, w[:, None, :],
+                window_strides=(1,), padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=H,
+            ) + b                                         # [B, T, H]
+            newbuf = full[:, full.shape[1] - max(K - 1, 0):]
+            return jnp.transpose(y, (1, 0, 2)), {"buf": newbuf}
         window = jnp.concatenate([buf, x[:, None, :]], axis=1)  # [B, K, H]
         y = jnp.einsum("bkh,kh->bh", window, w) + b
         return y, {"buf": window[:, 1:]}
@@ -330,24 +345,59 @@ class MLSTMCell(nn.Module):
     def __call__(self, x, state):
         H, NH = self.spec.hidden, self.spec.heads
         DH = H // NH
-        B = x.shape[0]
-
-        x_conv, conv_state = CausalConvCell(
-            spec=replace(self.spec, kind="conv"), name="conv")(x, {"buf": state["conv"]})
-        x_conv = nn.silu(x_conv)
-        q = x_conv.reshape(B, NH, DH)
-        k = x_conv.reshape(B, NH, DH)
-        v = x.reshape(B, NH, DH)
-
-        gate_in = jnp.concatenate([x_conv, x_conv, x], axis=-1)  # [B, 3H]
 
         def f_bias(key, shape, dtype=jnp.float32):
             return jnp.linspace(3.0, 6.0, shape[0])
 
-        i_pre = nn.Dense(NH, name="igate", kernel_init=nn.initializers.zeros,
-                         bias_init=nn.initializers.normal(0.1))(gate_in)  # [B, NH]
-        f_pre = nn.Dense(NH, name="fgate", kernel_init=nn.initializers.zeros,
-                         bias_init=f_bias)(gate_in)
+        conv = CausalConvCell(spec=replace(self.spec, kind="conv"), name="conv")
+        igate = nn.Dense(NH, name="igate", kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.normal(0.1))
+        fgate = nn.Dense(NH, name="fgate", kernel_init=nn.initializers.zeros,
+                         bias_init=f_bias)
+        scale = self.param("outnorm_scale", nn.initializers.ones, (H,))
+
+        def outnorm(h):
+            mu = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.var(h, axis=-1, keepdims=True)
+            return (h - mu) * jax.lax.rsqrt(var + 1e-5)
+
+        x_conv, conv_state = conv(x, {"buf": state["conv"]})
+        x_conv = nn.silu(x_conv)
+        gate_in = jnp.concatenate([x_conv, x_conv, x], axis=-1)
+        i_pre = igate(gate_in)                      # [..., NH]
+        f_pre = fgate(gate_in)
+
+        if x.ndim == 3:
+            # sequence mode [T, B, H]: the whole segment goes through the
+            # chunkwise-parallel kernel (ops/mlstm_chunkwise.py — the TPU
+            # equivalent of the reference Triton kernels,
+            # cortex/kernels/triton/mlstm/): within-chunk work becomes MXU
+            # einsums; only chunk boundaries recur.
+            from metta_tpu.ops.mlstm_chunkwise import mlstm_chunkwise
+
+            T, B = x.shape[0], x.shape[1]
+            to_bh = lambda a: jnp.transpose(  # noqa: E731
+                a.reshape(T, B, NH, DH), (1, 2, 0, 3))
+            q = to_bh(x_conv)
+            v = to_bh(x)
+            cs = T
+            while cs > 64 or (cs > 1 and T % cs):
+                cs //= 2
+            h, (C_f, n_f, m_f) = mlstm_chunkwise(
+                q, q, v,
+                jnp.transpose(i_pre, (1, 2, 0)),
+                jnp.transpose(f_pre, (1, 2, 0)),
+                C0=state["C"], n0=state["n"], m0=state["m"],
+                chunk_size=max(cs, 1),
+            )                                       # [B, NH, T, DH]
+            y = outnorm(h)
+            y = jnp.transpose(y, (2, 0, 1, 3)).reshape(T, B, H) * scale
+            return y, {"C": C_f, "n": n_f, "m": m_f, "conv": conv_state["buf"]}
+
+        B = x.shape[0]
+        q = x_conv.reshape(B, NH, DH)
+        k = x_conv.reshape(B, NH, DH)
+        v = x.reshape(B, NH, DH)
 
         C, n, m = state["C"], state["n"], state["m"]
         log_f = nn.log_sigmoid(f_pre)               # [B, NH]
@@ -365,11 +415,7 @@ class MLSTMCell(nn.Module):
         denom = jnp.maximum(jnp.abs(qn), jnp.exp(-m_new)) + 1e-6
         h = h_num / denom[..., None]
 
-        mu = jnp.mean(h, axis=-1, keepdims=True)
-        var = jnp.var(h, axis=-1, keepdims=True)
-        h = (h - mu) * jax.lax.rsqrt(var + 1e-5)
-        scale = self.param("outnorm_scale", nn.initializers.ones, (H,))
-        y = h.reshape(B, H) * scale
+        y = outnorm(h).reshape(B, H) * scale
         return y, {"C": C_new, "n": n_new, "m": m_new, "conv": conv_state["buf"]}
 
 
@@ -827,16 +873,47 @@ class StackSpec:
                 for i, b in enumerate(self.blocks)}
 
 
+def _block_native_sequence(bspec: BlockSpec) -> bool:
+    """Blocks whose cell has a parallel whole-sequence implementation; their
+    projections/norms broadcast over the leading time dim, so the block can
+    consume [T, B, D] in one call."""
+    return bspec.kind != "column" and bspec.cell is not None and (
+        bspec.cell.kind in ("mlstm", "conv")
+    )
+
+
 class CortexStack(nn.Module):
     """Sequential stack of blocks (reference ``stacks/base.py``); the default
     "Ag,A,S" x2 build matches the reference ViT core
-    (``policies/vit.py:44-45``: ``core_resnet_layers=2``)."""
+    (``policies/vit.py:44-45``: ``core_resnet_layers=2``).
+
+    Sequence mode (x [T, B, D]): blocks with chunkwise-parallel cells (mLSTM,
+    conv) process the whole segment in one call — the reference keeps Triton
+    kernels for exactly this (``cortex/kernels/triton/mlstm/``); other blocks
+    step through an unrolled time loop with shared parameters."""
 
     spec: StackSpec
 
     @nn.compact
     def __call__(self, x, state):
         new_state = {}
+        if x.ndim == 3:
+            T = x.shape[0]
+            for i, bspec in enumerate(self.spec.blocks):
+                blk = bspec.make(f"block_{i}")
+                s = state[f"block_{i}"]
+                if _block_native_sequence(bspec):
+                    x, s = blk(x, s)
+                else:
+                    ys = []
+                    for t in range(T):
+                        y, s = blk(x[t], s)
+                        ys.append(y)
+                    x = jnp.stack(ys, axis=0)
+                new_state[f"block_{i}"] = s
+            if self.spec.post_norm:
+                x = nn.LayerNorm(use_bias=False, name="post_norm")(x)
+            return x, new_state
         for i, bspec in enumerate(self.spec.blocks):
             x, s = bspec.make(f"block_{i}")(x, state[f"block_{i}"])
             new_state[f"block_{i}"] = s

@@ -135,6 +135,17 @@ class LSTMCore(nn.Module):
 
     @nn.compact
     def __call__(self, x, state):
+        if x.ndim == 3:
+            # sequence mode [T, B, H]: lifted scan over the same cell (params
+            # broadcast, so the module tree matches the step path exactly)
+            scan_cell = nn.scan(
+                nn.OptimizedLSTMCell,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0,
+            )(self.hidden, dtype=self.dtype, name="lstm")
+            new_state, out = scan_cell(state, x.astype(self.dtype))
+            return out, new_state
         cell = nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype, name="lstm")
         new_state, out = cell(state, x.astype(self.dtype))
         return out, new_state

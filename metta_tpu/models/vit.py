@@ -79,6 +79,11 @@ class ViTPolicy(nn.Module):
     n_actions: int
     feature_norms: tuple
 
+    # the learner may forward a whole [T, B, K, 3] segment in one apply
+    # (token embed / perceiver / heads batch over T·B on the MXU; the core
+    # runs its sequence mode — chunkwise-parallel for mLSTM cells)
+    supports_sequence = True
+
     def initial_state(self, batch: int):
         spec = self.cfg.stack_spec()
         if spec is not None:
@@ -91,6 +96,10 @@ class ViTPolicy(nn.Module):
     @nn.compact
     def __call__(self, obs, state):
         c = self.cfg
+        seq = obs.ndim == 4                        # [T, B, K, 3] segment
+        if seq:
+            T, B = obs.shape[0], obs.shape[1]
+            obs = obs.reshape(T * B, *obs.shape[2:])
         tokens, mask = TokenEmbed(
             attr_embed_dim=c.token_embed_dim,
             num_freqs=c.fourier_freqs,
@@ -104,6 +113,8 @@ class ViTPolicy(nn.Module):
             num_heads=c.core_num_heads,
             name="perceiver",
         )(tokens, mask)
+        if seq:
+            latent = latent.reshape(T, B, latent.shape[-1])
         spec = c.stack_spec()
         if spec is not None:
             core_out, new_state = CortexStack(spec=spec, name="core")(

@@ -318,8 +318,22 @@ class Trainer:
         """Forward a [T, M, K, 3] obs sequence with zero initial state.
 
         Returns (logits, value, h_value, inter) where ``inter`` maps sown
-        intermediate names to [T, M, ...] stacks (empty unless requested)."""
+        intermediate names to [T, M, ...] stacks (empty unless requested).
+
+        Policies advertising ``supports_sequence`` take the whole segment in
+        ONE apply: encoder and heads batch over T·M (MXU-sized matmuls
+        instead of T skinny ones) and chunkwise-parallel cells (mLSTM)
+        process the segment without a step scan."""
         core0 = self.policy.initial_state(rows)
+
+        if getattr(self.policy, "supports_sequence", False):
+            if want_inter:
+                (logits, value, h_value, _), ivars = self.policy.apply(
+                    params, obs_seq, core0, mutable=["intermediates"])
+                inter = {k: v[0] for k, v in ivars["intermediates"].items()}
+                return logits, value, h_value, inter
+            logits, value, h_value, _ = self.policy.apply(params, obs_seq, core0)
+            return logits, value, h_value, {}
 
         if want_inter:
             def step(core, obs_t):

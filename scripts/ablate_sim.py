@@ -1,8 +1,8 @@
-"""Ablate sim-step phases on the real device by toggling Tables static gates.
+"""Ablate sim-step phases on hardware via config variants.
 
-Each variant disables one phase (trace-time static), so the timing delta vs
-the full sim attributes cost per phase. The numbers are indicative: XLA may
-fuse/reschedule differently per variant.
+Times `sim_only` (batched step, no render) for the combat config and
+variants with phases disabled: attack/transfer off, assembler/chest
+stations removed, stats off — ranking where the sim milliseconds go.
 
 Usage: python scripts/ablate_sim.py [--num-envs 4096] [--steps 50]
 """
@@ -10,7 +10,6 @@ Usage: python scripts/ablate_sim.py [--num-envs 4096] [--steps 50]
 from __future__ import annotations
 
 import argparse
-import copy
 import os
 import sys
 import time
@@ -21,32 +20,54 @@ import jax
 import jax.numpy as jnp
 
 from metta_tpu.builder.envs import make_combat
+from metta_tpu.config.mettagrid_config import (
+    AttackActionConfig,
+    TransferActionConfig,
+)
 from metta_tpu.engine.env import MettaGridEnv
 from metta_tpu.engine.step_batched import step_env_batched
 
 
-def time_scan(step_fn, st, key, steps, num_envs, A, n_actions):
+def time_sim(cfg, E, steps, label, track_stats=False):
+    env = MettaGridEnv(cfg, num_envs=E, desync_episodes=True,
+                       track_stats=track_stats, step_mode="batched")
+    if env.step_mode != "batched":
+        print(f"{label:28s} SKIP (fell back to sequential)")
+        return
+    tables = env.tables
+    A = env.num_agents
+    n_actions = env.compiled.n_actions
+    key = jax.random.PRNGKey(0)
+    vstate, _ = env.reset_fn(key)
+
     def body(carry, _):
-        s, key = carry
+        vs, key, acc = carry
         key, k = jax.random.split(key)
-        actions = jax.random.randint(k, (num_envs, A), 0, n_actions, dtype=jnp.int32)
-        s, _ = step_fn(s, actions)
-        return (s, key), ()
+        actions = jax.random.randint(k, (E, A), 0, n_actions, dtype=jnp.int32)
+        envst, rew = jax.vmap(
+            lambda s, a: step_env_batched(s, a, tables, render=False)
+        )(vs.env, actions)
+        vs = vs.replace(env=envst)
+        return (vs, key, acc + jnp.sum(rew[0].astype(jnp.int32))), ()
 
-    def run(s, key):
-        (s, key), _ = jax.lax.scan(body, (s, key), None, length=steps)
-        return s.agent_r
+    def run(vs, key):
+        (vs, key, acc), _ = jax.lax.scan(
+            body, (vs, key, jnp.int32(0)), None, length=steps)
+        return vs, key, acc
 
-    run_jit = jax.jit(run)
-    out = run_jit(st, key)
+    rj = jax.jit(run)
+    out = rj(vstate, key)
     jax.block_until_ready(out)
+    vs, key = out[0], out[1]
     trials = []
     for _ in range(3):
         t0 = time.time()
-        out = run_jit(st, key)
+        out = rj(vs, key)
         jax.block_until_ready(out)
+        vs, key = out[0], out[1]
         trials.append(time.time() - t0)
-    return min(trials)
+    dt = min(trials) / steps
+    print(f"{label:28s} {dt * 1e3:8.2f} ms/step  {E / dt:10.0f} env-steps/s")
 
 
 def main():
@@ -55,48 +76,82 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--agents", type=int, default=24)
     args = ap.parse_args()
+    E = args.num_envs
 
-    cfg = make_combat(num_agents=args.agents)
-    cfg.game.map_builder.seed = 1234
-    env = MettaGridEnv(cfg, num_envs=args.num_envs, desync_episodes=True,
-                       track_stats=False, step_mode="batched")
-    tables = env.tables
-    A, E = env.num_agents, args.num_envs
-    n_actions = env.compiled.n_actions
+    base = make_combat(num_agents=args.agents)
+    base.game.map_builder.seed = 1234
+    time_sim(base, E, args.steps, "combat (baseline)")
+    time_sim(base, E, args.steps, "combat + stats", track_stats=True)
 
-    key = jax.random.PRNGKey(0)
-    vstate, _ = env.reset_fn(key)
-    st = vstate.env
+    v = base.model_copy(deep=True)
+    v.game.actions.attack = AttackActionConfig(enabled=False)
+    v.game.actions.transfer = TransferActionConfig(enabled=False)
+    time_sim(v, E, args.steps, "no attack/transfer")
 
-    # variants: name -> dict of static overrides on a shallow copy of tables
-    variants = {
-        "full": {},
-        "no_attack": {"has_attack": False},
-        "no_transfer": {"has_transfer": False},
-        "no_swap": {"has_swap": False},
-        "no_asm": {"has_assemblers": False},
-        "no_chest": {"has_chests": False},
-        "no_regen": {"has_regen": False},
-        "no_damage": {"has_damage": False},
-        "no_clipper": {"clipper_enabled": False},
-        "no_consumed": {"any_action_consumed": False},
-        "minimal": {"has_attack": False, "has_transfer": False,
-                    "has_swap": False, "has_assemblers": False,
-                    "has_chests": False, "has_regen": False,
-                    "has_damage": False, "clipper_enabled": False,
-                    "any_action_consumed": False},
-    }
-    base = None
-    for name, overrides in variants.items():
-        t = copy.copy(tables)
-        for k, v in overrides.items():
-            setattr(t, k, v)
-        step = jax.vmap(lambda s, a, t=t: step_env_batched(s, a, t, render=False))
-        dt = time_scan(step, st, key, args.steps, E, A, n_actions) / args.steps
-        if name == "full":
-            base = dt
-        delta = (base - dt) * 1e3 if base is not None and name != "full" else 0.0
-        print(f"{name:12s} {dt * 1e3:8.2f} ms/step  (saves {delta:6.2f} ms)")
+    v = base.model_copy(deep=True)
+    v.game.agent.inventory.regen_amounts = {}
+    time_sim(v, E, args.steps, "no regen")
+
+    # movement only: everything else off
+    v = base.model_copy(deep=True)
+    v.game.actions.attack = AttackActionConfig(enabled=False)
+    v.game.actions.transfer = TransferActionConfig(enabled=False)
+    v.game.agent.inventory.regen_amounts = {}
+    try:
+        time_sim(v, E, args.steps, "moves only (+stations)")
+    except Exception as e:
+        print(f"moves only: FAIL {type(e).__name__}: {str(e)[:120]}")
+
+    # phase stubs (profiling only): replace internal phases with identities
+    import metta_tpu.engine.step_batched as SB
+
+    def stub_phase(state, tables, is_winner, sidx, lims):
+        return state, is_winner & (sidx >= 0)
+
+    for name in ("_assembler_phase", "_chest_phase"):
+        orig = getattr(SB, name)
+        setattr(SB, name, stub_phase)
+        try:
+            time_sim(base, E, args.steps, f"stub {name}")
+        finally:
+            setattr(SB, name, orig)
+
+    orig_lsc = SB._local_shared_consume
+    SB._local_shared_consume = (
+        lambda rows, lims, valid, delta, passes=3:
+            jnp.clip(delta[None, :], -rows, jnp.maximum(lims - rows, 0))
+            * valid[:, None]
+    )
+    try:
+        time_sim(base, E, args.steps, "stub shared_consume")
+    finally:
+        SB._local_shared_consume = orig_lsc
+
+    orig_sp, orig_sup = SB.select_protocol, SB.select_unclip_protocol
+    SB.select_protocol = lambda tables, t, kv, na: (t * 0)
+    SB.select_unclip_protocol = lambda tables, up, kv, na: (up * 0)
+    try:
+        time_sim(base, E, args.steps, "stub select_protocol")
+    finally:
+        SB.select_protocol, SB.select_unclip_protocol = orig_sp, orig_sup
+
+    orig_gr = SB._gather_rows
+    SB._gather_rows = lambda idx, valid, rows, A: jnp.broadcast_to(
+        rows[:1][None], idx.shape + (rows.shape[-1],)
+    ).astype(rows.dtype) * valid[..., None]
+    try:
+        time_sim(base, E, args.steps, "stub gather_rows")
+    finally:
+        SB._gather_rows = orig_gr
+
+    orig_sc = SB._scatter_rows
+    SB._scatter_rows = lambda idx, valid, deltas, A, R: jnp.zeros(
+        (A, R), jnp.int32
+    ) + jnp.sum(deltas.astype(jnp.int32).reshape(-1, R), axis=0)[None]
+    try:
+        time_sim(base, E, args.steps, "stub scatter_rows")
+    finally:
+        SB._scatter_rows = orig_sc
 
 
 if __name__ == "__main__":
