@@ -476,6 +476,25 @@ def step_env_batched(state, actions, tables, render=True):
 # ---------------------------------------------------------------------------
 
 
+def _cumsum_small(x, axis: int = 0):
+    """Inclusive cumsum over a tiny static axis as log2(n) shifted adds.
+
+    XLA lowers ``jnp.cumsum`` through reduce-window, a fusion breaker that
+    forces the [E, K, 8, R] intermediates of the assembler phase through HBM;
+    pad+slice+add chains stay inside one fusion."""
+    n = x.shape[axis]
+    shift = 1
+    while shift < n:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (shift, 0)
+        shifted = jnp.pad(x, pad)
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(0, n)
+        x = x + shifted[tuple(idx)]
+        shift *= 2
+    return x
+
+
 def _local_shared_consume(rows, lims, valid, delta, passes: int = 3):
     """shared_update on local copies: distribute delta[R] (+/-) over rows [L, R].
 
@@ -500,7 +519,7 @@ def _local_shared_consume(rows, lims, valid, delta, passes: int = 3):
         n_rem = n_rem - jnp.sum(kick.astype(jnp.int32), axis=0)
         active = active & ~kick
     # final distribution: base + sign-surplus to earliest actives
-    rank_l = jnp.cumsum(active.astype(jnp.int32), axis=0) - 1
+    rank_l = _cumsum_small(active.astype(jnp.int32), axis=0) - 1
     base = jnp.where(n_rem > 0, trunc_div(delta_rem, jnp.maximum(n_rem, 1)), 0)
     surplus = delta_rem - base * n_rem
     extra = jnp.where(rank_l < jnp.abs(surplus)[None, :], jnp.sign(surplus)[None, :], 0)
@@ -652,7 +671,7 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         cnt_v = jnp.sum(
             (vibes[:, None] == jnp.arange(V)[None, :]).astype(jnp.int32), axis=0
         )                                                  # [V]
-        cum_v = jnp.cumsum(cnt_v)
+        cum_v = _cumsum_small(cnt_v, axis=0)
         key_vec = jnp.sum(
             (cum_v[None, :] <= jnp.arange(8)[:, None]).astype(vibes.dtype),
             axis=1,
@@ -695,7 +714,7 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         # counting (no argsort/gather): agents ordered by rotation index,
         # non-agents after, both stable in slot order
         inb_i32 = inb.astype(jnp.int32)
-        rank_inb = jnp.cumsum(inb_i32) - 1
+        rank_inb = _cumsum_small(inb_i32, axis=0) - 1
         n_inb = jnp.sum(inb_i32)
         is_actor_slot = (offs[:, 0] == (actor_r_i - ar_)) & (offs[:, 1] == (actor_c_i - ac_))
         start_rank = jnp.sum(jnp.where(is_actor_slot, rank_inb, 0))
@@ -716,7 +735,7 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         # output selection: occurrence-index trick replaces the sequential loop
         v8c = jnp.clip(v8, 0, V - 1)
         voh8 = v8c[:, None] == jnp.arange(V)[None, :]                     # [8, V]
-        same_before = jnp.cumsum(voh8.astype(jnp.int32), axis=0) - voh8.astype(jnp.int32)
+        same_before = _cumsum_small(voh8.astype(jnp.int32), axis=0) - voh8.astype(jnp.int32)
         occ_idx = jnp.sum(jnp.where(voh8, same_before, 0), axis=1)
         count_v = jnp.sum(jnp.where(voh8, vibe_counts[None, :], 0), axis=1)
         sel = ref_valid & (v8 != 0) & (occ_idx < count_v)
@@ -737,12 +756,15 @@ def _assembler_phase(state, tables, is_winner, sidx, lims):
         actor_r, actor_c,
     )
 
-    # ---- hoisted inventory lookups: one [K*8, A] one-hot GEMM each instead
-    # of K batched [8, A] ones ----
-    rows_k = _gather_rows(in_idx, in_val, inv_p, A)                    # [K, 8, Rp]
-    lim_rows_k = _gather_rows(in_idx, in_val, lims_p, A)
-    out_rows_k = _gather_rows(out_idx, out_val, inv_p, A)
-    out_lims_k = _gather_rows(out_idx, out_val, lims_p, A)
+    # ---- hoisted inventory lookups: ONE [2K*8, A] one-hot + ONE GEMM over a
+    # concatenated (inventory | limits) table serves all four per-station
+    # row sets (the materialized one-hots were the phase's HBM hot spot) ----
+    table = jnp.concatenate([inv_p, lims_p], axis=1)                   # [A, 2Rp]
+    idx_all = jnp.concatenate([in_idx, out_idx], axis=0)               # [2K, 8]
+    val_all = jnp.concatenate([in_val, out_val], axis=0)
+    g = _gather_rows(idx_all, val_all, table, A)                       # [2K, 8, 2Rp]
+    rows_k, lim_rows_k = g[:K, :, :Rp], g[:K, :, Rp:]
+    out_rows_k, out_lims_k = g[K:, :, :Rp], g[K:, :, Rp:]
 
     def per_station_fin(ok, clipped, inputs, outputs, ref_valid, rows,
                         lim_rows, out_valid, out_rows, out_lims):

@@ -289,6 +289,18 @@ def compute_grpo_advantages(rewards_bt, dones_bt, gamma, group_size):
     return adv_main
 
 
+def quantile_huber(quantiles, target, tau_hat):
+    """Per-row quantile-regression Huber loss: Huber(target − quantiles)
+    weighted by |τ̂ − 1{diff<0}|, summed over quantiles
+    (``loss/quantile_ppo_critic.py:105-225``). ``target`` broadcasts against
+    ``quantiles [..., N]``."""
+    diff = target - quantiles
+    adiff = jnp.abs(diff)
+    huber = jnp.where(adiff < 1.0, 0.5 * diff * diff, adiff - 0.5)
+    w = jnp.abs(tau_hat - (diff < 0).astype(jnp.float32))
+    return jnp.sum(w * huber, axis=-1)
+
+
 def quantile_critic_term(trainer, mb, fwd, hp):
     """Quantile-regression value loss (``loss/quantile_ppo_critic.py:105-225``):
     Huber(quantiles, scalar return) weighted by |τ̂ − 1{diff<0}|, with optional
@@ -302,11 +314,7 @@ def quantile_critic_term(trainer, mb, fwd, hp):
     target = returns[..., None]
 
     def qloss(quantiles):
-        diff = target - quantiles
-        adiff = jnp.abs(diff)
-        huber = jnp.where(adiff < 1.0, 0.5 * diff * diff, adiff - 0.5)
-        w = jnp.abs(tau_hat - (diff < 0).astype(jnp.float32))
-        return jnp.sum(w * huber, axis=-1)                 # [T, M]
+        return quantile_huber(quantiles, target, tau_hat)  # [T, M]
 
     if cfg.clip_vloss and "value_q_old" in mb:
         old_q = mb["value_q_old"]
@@ -446,6 +454,19 @@ def ema_term(trainer, ema_fwd, fwd, hp):
     return term, {"ema_mse_loss": loss}
 
 
+def cmpo_policy_target(prior_logp, q_values, temperature, adv_clip, norm_adv):
+    """π_CMPO ∝ π_prior · exp(clip(Â/τ, ±adv_clip)), Â = Q − E_prior[Q]
+    (``loss/cmpo.py:155-330``). prior_logp/q_values [B, A] → [B, A]."""
+    pi_prior = jnp.exp(prior_logp)
+    v_prior = jnp.sum(pi_prior * q_values, axis=-1, keepdims=True)
+    adv = q_values - v_prior
+    if norm_adv:
+        adv = adv / jnp.clip(jnp.std(adv, axis=-1, keepdims=True), 1e-6)
+    adv_s = jnp.clip(adv / temperature, -adv_clip, adv_clip)
+    pi_cmpo = pi_prior * jnp.exp(adv_s)
+    return pi_cmpo / jnp.sum(pi_cmpo, axis=-1, keepdims=True)
+
+
 def cmpo_term(trainer, aux_apply, prior_fwd_fn, wm_params_stopgrad, mb, fwd, hp):
     """CMPO (``loss/cmpo.py:155-330``): π_CMPO ∝ π_prior·exp(clip(Â/τ)) where
     Â comes from one-step world-model lookahead Q values; KL distillation +
@@ -488,15 +509,8 @@ def cmpo_term(trainer, aux_apply, prior_fwd_fn, wm_params_stopgrad, mb, fwd, hp)
 
     prior_logp, _ = prior_fwd_fn(obs.reshape(T * M, K, 3))
     prior_logp = jax.lax.stop_gradient(prior_logp)         # [T*M, A]
-    pi_prior = jnp.exp(prior_logp)
-    v_prior = jnp.sum(pi_prior * q_values, axis=-1, keepdims=True)
-    adv = q_values - v_prior
-    if cfg.norm_adv:
-        adv = adv / jnp.clip(jnp.std(adv, axis=-1, keepdims=True), 1e-6)
-    adv_s = jnp.clip(adv / cfg.temperature, -cfg.adv_clip, cfg.adv_clip)
-    pi_cmpo = pi_prior * jnp.exp(adv_s)
-    pi_cmpo = pi_cmpo / jnp.sum(pi_cmpo, axis=-1, keepdims=True)
-    pi_cmpo = jax.lax.stop_gradient(pi_cmpo)
+    pi_cmpo = jax.lax.stop_gradient(cmpo_policy_target(
+        prior_logp, q_values, cfg.temperature, cfg.adv_clip, cfg.norm_adv))
 
     log_pi = fwd["logp_all"].reshape(T * M, n_act)
     kl_loss = -jnp.mean(jnp.sum(pi_cmpo * log_pi, axis=-1))

@@ -103,14 +103,27 @@ class AppBackend:
 
     # ---- sql routes ---------------------------------------------------
 
-    def tables(self) -> dict:
+    def tables(self) -> list:
+        """List[TableInfo] — {table_name, column_count, row_count}
+        (sql_routes.py:28-32, :51-86)."""
         with self._conn() as conn:
-            rows = conn.execute(
+            names = [r["name"] for r in conn.execute(
                 "SELECT name FROM sqlite_master WHERE type='table' ORDER BY name"
-            ).fetchall()
-        return {"tables": [r["name"] for r in rows]}
+            ).fetchall()]
+            out = []
+            for n in names:
+                cols = conn.execute(f"PRAGMA table_info({n})").fetchall()
+                cnt = conn.execute(f"SELECT COUNT(*) AS c FROM {n}").fetchone()
+                out.append({
+                    "table_name": n,
+                    "column_count": len(cols),
+                    "row_count": int(cnt["c"]),
+                })
+        return out
 
     def table_schema(self, name: str) -> dict:
+        """TableSchema — {table_name, columns: [{name, type, nullable,
+        default, max_length}]} (sql_routes.py:34-37, :91-135)."""
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise ValueError("invalid table name")
         with self._conn() as conn:
@@ -118,20 +131,30 @@ class AppBackend:
         if not rows:
             raise KeyError(name)
         return {
-            "table": name,
-            "columns": [{"name": r["name"], "type": r["type"]} for r in rows],
+            "table_name": name,
+            "columns": [
+                {
+                    "name": r["name"], "type": r["type"],
+                    "nullable": not r["notnull"],
+                    "default": r["dflt_value"], "max_length": None,
+                }
+                for r in rows
+            ],
         }
 
     def sql_query(self, body: dict) -> dict:
+        """SQLQueryResponse — {columns, rows, row_count}
+        (sql_routes.py:22-25, :139+; SELECT-only, like the reference's
+        read-only validation)."""
         q = (body.get("query") or "").strip()
-        # SELECT-only guard (sql_routes.py:139 validates read-only too)
         if not re.match(r"(?is)^\s*(select|with)\b", q) or ";" in q.rstrip(";"):
             raise ValueError("only a single SELECT statement is allowed")
         with self._conn() as conn:
             cur = conn.execute(q.rstrip(";"))
             cols = [d[0] for d in cur.description]
             rows = cur.fetchmany(MAX_QUERY_ROWS)
-        return {"columns": cols, "rows": [list(r) for r in rows]}
+        return {"columns": cols, "rows": [list(r) for r in rows],
+                "row_count": len(rows)}
 
     # ---- dashboard ----------------------------------------------------
 

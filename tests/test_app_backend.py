@@ -75,12 +75,13 @@ def test_health_and_stats_routes(backend):
 
 def test_sql_routes_select_only(backend):
     code, t = _get(backend, "/sql/tables")
-    assert code == 200 and "episodes" in t["tables"]
+    assert code == 200 and "episodes" in [x["table_name"] for x in t]
     code, s = _get(backend, "/sql/tables/episodes/schema")
-    assert code == 200 and any(c["name"] == "policy_uri" for c in s["columns"])
+    assert code == 200 and s["table_name"] == "episodes"
+    assert any(c["name"] == "policy_uri" for c in s["columns"])
     code, q = _post(backend, "/sql/query",
                     {"query": "SELECT COUNT(*) FROM episodes"})
-    assert code == 200 and q["rows"][0][0] == 2
+    assert code == 200 and q["rows"][0][0] == 2 and q["row_count"] == 1
     code, err = _post(backend, "/sql/query", {"query": "DELETE FROM episodes"})
     assert code == 400 and "SELECT" in err["error"]
 
