@@ -34,6 +34,7 @@ class VecEnvState:
     desync_step: jnp.ndarray     # [E] int32; >0 = truncate first episode there
     episode_len: jnp.ndarray     # [E] int32 of the last finished episode
     last_episode_reward: jnp.ndarray  # [E, A] f32 of the last finished episode
+    last_episode_gained: jnp.ndarray  # [E, R] f32 agent-mean resources gained
 
 
 class MettaGridEnv:
@@ -142,11 +143,13 @@ class MettaGridEnv:
             else:
                 desync = jnp.zeros((num_envs,), jnp.int32)
             A = tables.num_agents
+            R = tables.num_resources
             return VecEnvState(
                 env=env,
                 desync_step=desync,
                 episode_len=jnp.zeros((num_envs,), jnp.int32),
                 last_episode_reward=jnp.zeros((num_envs, A), jnp.float32),
+                last_episode_gained=jnp.zeros((num_envs, R), jnp.float32),
             ), obs
 
         def step_batch(vstate: VecEnvState, actions):
@@ -159,6 +162,11 @@ class MettaGridEnv:
             episode_done_len = jnp.where(ended, env.step, vstate.episode_len)
             episode_done_rew = jnp.where(
                 ended[:, None], env.episode_reward, vstate.last_episode_reward
+            )
+            episode_done_gained = jnp.where(
+                ended[:, None],
+                jnp.mean(env.agent_gained.astype(jnp.float32), axis=1),
+                vstate.last_episode_gained,
             )
 
             # auto-reset ended envs (fresh key from the env's chain). Fields
@@ -185,6 +193,7 @@ class MettaGridEnv:
                 desync_step=jnp.where(ended, 0, vstate.desync_step),
                 episode_len=episode_done_len,
                 last_episode_reward=episode_done_rew,
+                last_episode_gained=episode_done_gained,
             )
             return vstate, obs, rewards, done, truncated
 

@@ -53,6 +53,7 @@ class MTVecState:
     episode_len: jnp.ndarray      # [E] int32 of the last finished episode
     last_episode_reward: jnp.ndarray  # [E, A] f32 of the last finished episode
     last_episode_task: jnp.ndarray    # [E] int32 task of the last finished episode
+    last_episode_gained: jnp.ndarray  # [E, R] f32 agent-mean resources gained
 
 
 def _stack_pytrees(items: Sequence[Any]):
@@ -223,6 +224,8 @@ class MultiTaskEnv:
                 episode_len=jnp.zeros((E,), jnp.int32),
                 last_episode_reward=jnp.zeros((E, A), jnp.float32),
                 last_episode_task=jnp.zeros((E,), jnp.int32),
+                last_episode_gained=jnp.zeros(
+                    (E, tables0.num_resources), jnp.float32),
             ), obs
 
         def step_core(vstate: MTVecState, actions, ts: TaskSetData):
@@ -237,6 +240,11 @@ class MultiTaskEnv:
                 ended[:, None], env.episode_reward, vstate.last_episode_reward
             )
             episode_done_task = jnp.where(ended, vstate.task_id, vstate.last_episode_task)
+            episode_done_gained = jnp.where(
+                ended[:, None],
+                jnp.mean(env.agent_gained.astype(jnp.float32), axis=1),
+                vstate.last_episode_gained,
+            )
 
             # per-episode task resample (CurriculumEnv parity) + auto-reset
             logw = jnp.log(jnp.maximum(ts.weights, 1e-9))
@@ -259,6 +267,7 @@ class MultiTaskEnv:
                 episode_len=episode_done_len,
                 last_episode_reward=episode_done_rew,
                 last_episode_task=episode_done_task,
+                last_episode_gained=episode_done_gained,
             )
             return vstate, obs, rewards, done, truncated
 

@@ -347,6 +347,12 @@ class TrainerConfig(Config):
     max_grad_norm: float = Field(default=0.5, gt=0)
     seed: int = 0
 
+    # track per-episode env stat accumulators (gained/lost/chest) in the
+    # TRAINING envs — needed by acceptance gates on env_agent/* metrics
+    # (devops/stable.py); off by default (costs two [E, A, R] accumulations
+    # per sim phase)
+    track_env_stats: bool = False
+
     # env step mode: "batched" (rank-arbitrated vectorized step, the perf
     # path) or "sequential" (reference-exact agent loop). See
     # engine/step_batched.py for the semantics notes.

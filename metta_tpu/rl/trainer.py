@@ -118,10 +118,11 @@ class Trainer:
             from metta_tpu.engine.taskset import MultiTaskEnv
 
             self.env = MultiTaskEnv(task_cfgs, num_envs=num_envs,
-                                    track_stats=False,
+                                    track_stats=cfg.track_env_stats,
                                     step_mode=cfg.env_step_mode)
         else:
-            self.env = MettaGridEnv(env_cfg, num_envs=num_envs, track_stats=False,
+            self.env = MettaGridEnv(env_cfg, num_envs=num_envs,
+                                    track_stats=cfg.track_env_stats,
                                     step_mode=cfg.env_step_mode)
         self.E = num_envs
         self.A = A

@@ -133,6 +133,12 @@ class TrainTool(Tool):
         last_log_steps = agent_steps
         last_log_t = t0
 
+        from metta_tpu.utils.logging import MetricsLogger
+
+        mlog = MetricsLogger(run_dir=os.path.join(self.data_dir, self.run),
+                             run_name=self.run)
+        res_names = list(trainer.env.compiled.resource_names)
+
         while agent_steps < total:
             if self.abort_file and self.abort_check_interval and \
                     update_idx % self.abort_check_interval == 0 and \
@@ -158,6 +164,24 @@ class TrainTool(Tool):
                     update_idx, agent_steps, sps, m.get("reward_mean", 0),
                     m.get("policy_loss", 0), m.get("value_loss", 0), m.get("entropy", 0),
                 )
+                payload = {
+                    "agent_step": agent_steps,
+                    "overview/sps": sps,
+                    "overview/reward": m.get("reward_mean", 0.0),
+                    **{f"losses/{k}": v for k, v in m.items()},
+                }
+                if self.trainer.track_env_stats:
+                    # per-episode env stat gate inputs (reference namespace
+                    # env_agent/<resource>.gained — acceptance criteria in
+                    # devops/stable.py read these)
+                    vst = ts.vstate
+                    done_mask = np.asarray(vst.episode_len) > 0
+                    if done_mask.any():
+                        gained = np.asarray(vst.last_episode_gained)[done_mask]
+                        for ri, rn in enumerate(res_names):
+                            payload[f"env_agent/{rn}.gained"] = float(
+                                gained[:, ri].mean())
+                mlog.log(payload, step=agent_steps)
 
             if self.heartbeat_file:
                 # parity: common/util/heartbeat.py record_heartbeat
@@ -230,5 +254,6 @@ class TrainTool(Tool):
 
         cm.save_policy(ts.params, arch, epoch=update_idx)
         cm.save_trainer_state(ts, update_idx, extras={"agent_steps": agent_steps})
+        mlog.close()
         logger.info("done: %d agent steps in %.1fs", agent_steps, time.time() - t0)
         return 0
