@@ -27,21 +27,12 @@ def _hub_scene(spawn_count: int = 4) -> SceneConfig:
 
 
 def machina_arena(spawn_count: int = 20) -> SceneConfig:
-    """Procedural arena: cave terrain + extractor field + central base hub
-    (cogs_vs_clips/procedural.py MachinaArena equivalent)."""
-    return BiomeCaves.Config(
-        fill_prob=0.35,
-        children=[
-            ChildSpec(scene=UniformExtractorScene.Config(
-                target_coverage=0.01,
-                building_names=[
-                    "carbon_extractor", "oxygen_extractor",
-                    "germanium_extractor", "silicon_extractor", "charger",
-                ],
-            )),
-            ChildSpec(scene=_hub_scene(spawn_count)),
-        ],
-    )
+    """Procedural arena: base biome + biome/dungeon zones + weighted building
+    scatter + central base hub + connectivity (cogs_vs_clips/procedural.py
+    MachinaArena; see mapgen/scenes_arena.py)."""
+    from metta_tpu.mapgen.scenes_arena import MachinaArena
+
+    return MachinaArena.Config(spawn_count=spawn_count)
 
 
 TRAINING_FACILITY = Site(

@@ -106,7 +106,7 @@ class MettaGridEnv:
         )
         from metta_tpu.ops.obs_render3 import supports_v3
 
-        self._pl3 = self._pl2 and supports_v3(tables)
+        self._pl3 = self._pl2 and supports_v3(tables, num_envs)
 
         def _stepped(vstate_env, actions):
             """vmapped sim step + batched obs render → (env, obs)."""

@@ -162,7 +162,7 @@ class MultiTaskEnv:
 
         # static shapes (K, NB, T, window) are shared across the stacked
         # tasks, so one v3 applicability check covers the whole set
-        self._pl3 = self._pl2 and supports_v3(tables0)
+        self._pl3 = self._pl2 and supports_v3(tables0, num_envs)
 
         def _fresh_batch(ts: TaskSetData, keys, task_id):
             """Reset-target state+obs for each env from its task's template."""

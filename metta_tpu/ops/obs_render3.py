@@ -310,7 +310,19 @@ def prep_env3(state, tables, ea, rw):
             g_count.astype(jnp.int32)[:, None], g3p)
 
 
-def supports_v3(tables) -> bool:
+def pick_eps(E: int, want: int = 8):
+    """Envs per grid step: Mosaic block shapes need the (second-to-last)
+    eps dim divisible by 8, or equal to the full batch. Returns None when no
+    valid tiling exists (callers fall back to the v2 kernel)."""
+    if E <= 8:
+        return E
+    for eps in range(min((want // 8) * 8, (E // 8) * 8), 0, -8):
+        if E % eps == 0:
+            return eps
+    return None
+
+
+def supports_v3(tables, num_envs=None) -> bool:
     WH = int(tables.obs_height)
     WW = int(tables.obs_width)
     NB = (1 + tables.num_agents + tables.n_object_types
@@ -320,6 +332,7 @@ def supports_v3(tables) -> bool:
         and NB <= 128
         and tables.width + LW <= 128
         and tables.height + 2 * (WH // 2) <= 128
+        and (num_envs is None or pick_eps(num_envs) is not None)
     )
 
 
@@ -340,15 +353,12 @@ def render_obs_pallas3(state_b, tables, executed_actions_b, rewards_b,
     NQ = (K + 1) // 2
     Tp = max(((T + 127) // 128) * 128, 256)
     E = state_b.agent_r.shape[0]
-    # Mosaic block shapes need the (second-to-last) eps dim divisible by 8,
-    # or equal to the full batch
-    eps = min(eps, E)
-    if E > 8:
-        eps = max(8, (eps // 8) * 8)
-        while E % eps:
-            eps -= 8
-    else:
-        eps = E
+    eps = pick_eps(E, want=eps)
+    if eps is None:
+        raise ValueError(
+            f"v3 renderer needs an env batch with a multiple-of-8 divisor "
+            f"(or <= 8); got E={E} — callers should fall back to v2"
+        )
 
     if stacked_tables is not None:
         def prep_mt(state, ea, rw, tid):
