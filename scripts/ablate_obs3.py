@@ -166,6 +166,9 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--agents", type=int, default=24)
     ap.add_argument("--eps", type=int, default=8)
+    ap.add_argument("--only", type=str, default=None,
+                    help="run one variant (workaround: compiling many kernel "
+                         "variants in one process trips Mosaic lowering caches)")
     args = ap.parse_args()
     EPS = args.eps
 
@@ -241,6 +244,8 @@ def main():
 
     variants = ["none", "winread", "repack", "decode", "search", "fetch",
                 "out", "winread+repack+decode+search+fetch+out"]
+    if args.only:
+        variants = args.only.split(",")
     base = None
     for v in variants:
         skips = set() if v == "none" else set(v.split("+"))

@@ -53,15 +53,15 @@ def bench(core, seq, args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--num-envs", type=int, default=1024)
+    ap.add_argument("--num-envs", type=int, default=512)
     ap.add_argument("--bptt", type=int, default=16)
-    ap.add_argument("--updates", type=int, default=4)
-    ap.add_argument("--cores", type=str, default="lstm,Ag,A,S|M")
+    ap.add_argument("--updates", type=int, default=3)
+    ap.add_argument("--cores", type=str, default="M")
     args = ap.parse_args()
-    for core in ["lstm", "Ag,A,S", "M"]:
+    for core in args.cores.split(";"):
         s0 = bench(core, False, args)
         s1 = bench(core, True, args)
-        print(f"  -> speedup {s1 / s0:.2f}x")
+        print(f"  -> core={core}: sequence-mode speedup {s1 / s0:.2f}x")
 
 
 if __name__ == "__main__":
