@@ -19,6 +19,11 @@ itself randomizes per step):
 - attacks/transfers/swaps/station-uses are evaluated against pre-step
   positions and frozen flags; at most one winner per target/station (with
   cooldown > 0 stations this matches the sequential outcome exactly);
+  losers and invalid attempts fall through to the next interaction exactly
+  as the reference's move handler does (move.hpp:103-139: failed try_attack/
+  try_transfer → swap-with-frozen → onUse), with the swap seeing post-attack
+  freeze flags — the outcome a sequential order with attackers first produces
+  (tests/test_batched_parity_enum.py pins the envelope property);
 - simultaneous station uses consume from pre-step inventories; if two stations
   share a contributor the scatter-add result is clamped at zero (rare).
 
@@ -127,8 +132,12 @@ def _read_cells(plane_hw, r, c):
     return jnp.sum(jnp.where(coh, tmp, 0.0), axis=1).astype(plane_hw.dtype)
 
 
-def step_env_batched(state, actions, tables, render=True):
-    """One batched-arbitration step. Same signature/returns as step_env."""
+def step_env_batched(state, actions, tables, render=True, perm=None):
+    """One batched-arbitration step. Same signature/returns as step_env.
+
+    ``perm`` (optional [A] int32) overrides the per-step random agent order —
+    the rank-arbitration priority — for differential tests against the
+    sequential step run with the same injected order."""
     A = tables.num_agents
     R = tables.num_resources
     H, W = tables.height, tables.width
@@ -140,7 +149,8 @@ def step_env_batched(state, actions, tables, render=True):
         reward=jnp.zeros_like(state.reward),
     )
 
-    perm = jax.random.permutation(k_perm, A)
+    if perm is None:
+        perm = jax.random.permutation(k_perm, A)
     rank = jnp.argsort(perm)                            # rank[a] = position in order
 
     # ---------- decode (one-hot LUTs; see _lut) ----------
@@ -283,7 +293,10 @@ def step_env_batched(state, actions, tables, render=True):
         state = state.replace(agent_inv=jnp.clip(old_inv + d, 0, lims))
         state = _track_agent_inv(state, tables, old_inv)
         success = success | valid
-        handled_attack = wants_attack  # losers of the arbitration fail outright
+        # only RESOLVED attacks (winner, affordable, unfrozen target) handle
+        # the move; failed try_attack falls through to swap/onUse, as in the
+        # reference (move.hpp:103-139: try_attack false → later branches)
+        handled_attack = valid
     else:
         handled_attack = jnp.zeros((A,), bool)
 
@@ -314,7 +327,8 @@ def step_env_batched(state, actions, tables, render=True):
         state = state.replace(agent_inv=jnp.clip(old_inv + d, 0, lims))
         state = _track_agent_inv(state, tables, old_inv)
         success = success | ok
-        handled_tr = wants_tr
+        # failed try_transfer falls through like a failed try_attack
+        handled_tr = ok
     else:
         handled_tr = jnp.zeros((A,), bool)
 

@@ -42,9 +42,11 @@ class ViTConfig:
     core_num_latents: int = 12
     token_embed_dim: int = 8
     fourier_freqs: int = 3
-    # "lstm", or a cortex pattern ("Ag,A,S", "AXMS", "X", ...). The reference
-    # default core is the "Ag,A,S" Column stack; "lstm" is the TPU fast path.
-    core: str = "lstm"
+    # "lstm", or a cortex pattern ("Ag,A,S", "AXMS", "X", ...). Default =
+    # the reference's default core, the "Ag,A,S" Column stack
+    # (``agent/src/metta/agent/policies/vit.py:17-121``); "lstm" is a faster
+    # TPU path kept for benchmarks/tests that opt in explicitly.
+    core: str = "Ag,A,S"
     core_layers: int = 2
     # >0: the critic head outputs this many quantiles (value = their mean);
     # required by the quantile_ppo_critic loss (reference quantile archs).

@@ -38,6 +38,10 @@ class PolicyConfig(Config):
     core_num_latents: int = 12
     token_embed_dim: int = 8
     fourier_freqs: int = 3
+    # recurrent core: the reference default "Ag,A,S" Column stack, or "lstm"
+    # (TPU fast path), or any cortex pattern string (models/cells.py).
+    core: str = "Ag,A,S"
+    core_layers: int = 2
 
     def to_arch(self) -> ViTConfig:
         return ViTConfig(
@@ -45,6 +49,7 @@ class PolicyConfig(Config):
             critic_hidden=self.critic_hidden, core_num_heads=self.core_num_heads,
             max_tokens=self.max_tokens, core_num_latents=self.core_num_latents,
             token_embed_dim=self.token_embed_dim, fourier_freqs=self.fourier_freqs,
+            core=self.core, core_layers=self.core_layers,
             name=self.name,
         )
 

@@ -29,8 +29,13 @@ def small_trainer(**loss_overrides):
     tcfg.losses.ppo_critic.critic_update = "mse"
     for path, v in loss_overrides.items():
         tcfg.override(path, v)
+    # core="lstm": these tests exercise the loss machinery, not the core;
+    # the tanh-bounded LSTM keeps latent magnitudes small so saturating
+    # losses (contrastive InfoNCE with the reference's unnormalized dot
+    # products) stay in their responsive regime at init
     pcfg = ViTConfig(latent_dim=16, actor_hidden=16, critic_hidden=16,
-                     max_tokens=16, core_num_latents=2, core_num_heads=2)
+                     max_tokens=16, core_num_latents=2, core_num_heads=2,
+                     core="lstm")
     return Trainer(small_cfg(), tcfg, pcfg)
 
 
