@@ -692,7 +692,9 @@ class GRUGate(nn.Module):
         H = x.shape[-1]
         lin = lambda n: nn.Dense(H, use_bias=False, name=n)  # noqa: E731
         r = nn.sigmoid(lin("Wr")(y) + lin("Ur")(x))
-        bg = self.param("bg", lambda k, s: jnp.full(s, self.bg), (H,))
+        # jnp.full with a python float yields a weak-typed leaf; the first
+        # update strengthens it and every downstream jit retraces — pin f32
+        bg = self.param("bg", lambda k, s: jnp.full(s, self.bg, jnp.float32), (H,))
         z = nn.sigmoid(lin("Wz")(y) + lin("Uz")(x) - bg)
         h = jnp.tanh(lin("Wg")(y) + lin("Ug")(r * x))
         return (1 - z) * x + z * h
