@@ -235,7 +235,9 @@ class AppBackend:
     def handle(self, method: str, path: str, query: dict, body: dict) -> tuple[int, dict]:
         try:
             if method == "GET" and path == "/":
-                return 200, {"__html__": _DASHBOARD_HTML}
+                from metta_tpu.web.observatory_html import OBSERVATORY_HTML
+
+                return 200, {"__html__": OBSERVATORY_HTML}
             if method == "GET" and path == "/health":
                 return 200, {"status": "ok"}
             if method == "GET" and path == "/whoami":
@@ -275,53 +277,6 @@ class AppBackend:
             return 400, {"error": str(e)}
         except sqlite3.Error as e:
             return 400, {"error": f"sql: {e}"}
-
-
-_DASHBOARD_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>metta_tpu observatory</title>
-<style>
- body { font: 14px/1.4 system-ui, sans-serif; margin: 2rem; color: #222; }
- h1 { font-size: 1.2rem; } h2 { font-size: 1rem; margin-top: 1.5rem; }
- table { border-collapse: collapse; margin-top: .5rem; }
- td, th { border: 1px solid #ccc; padding: .3rem .6rem; text-align: right; }
- th { background: #f3f3f3; } td.name { text-align: left; }
- .cell { min-width: 4rem; }
- input { font: inherit; padding: .2rem .4rem; }
-</style></head><body>
-<h1>metta_tpu observatory — policy scorecard</h1>
-<label>metric <input id="metric" value="reward" size="30"></label>
-<button onclick="load()">reload</button>
-<div id="heatmap"></div>
-<h2>recent episodes</h2>
-<div id="episodes"></div>
-<script>
-async function load() {
-  const m = document.getElementById('metric').value;
-  const h = await (await fetch('/dashboard/heatmap?metric=' + encodeURIComponent(m))).json();
-  let t = '<table><tr><th>policy \\\\ sim</th>' +
-    h.sims.map(s => '<th>' + s + '</th>').join('') + '</tr>';
-  for (const p of h.policies) {
-    t += '<tr><td class="name">' + p + '</td>';
-    for (const s of h.sims) {
-      const c = h.cells.find(c => c.policy === p && c.sim === s);
-      t += '<td class="cell">' + (c ? c.value.toFixed(3) + ' <small>(' + c.episodes + ')</small>' : '—') + '</td>';
-    }
-    t += '</tr>';
-  }
-  document.getElementById('heatmap').innerHTML = t + '</table>';
-  const eps = await (await fetch('/stats/episodes/query', {method: 'POST',
-    headers: {'Content-Type': 'application/json'}, body: JSON.stringify({limit: 20})})).json();
-  let e = '<table><tr><th>episode</th><th>suite</th><th>sim</th><th>policy</th><th>steps</th></tr>';
-  for (const ep of eps.episodes) {
-    e += '<tr><td class="name">' + ep.episode_id.slice(0, 8) + '</td><td>' + ep.sim_suite +
-         '</td><td>' + ep.sim_name + '</td><td class="name">' + ep.policy_uri +
-         '</td><td>' + ep.steps + '</td></tr>';
-  }
-  document.getElementById('episodes').innerHTML = e + '</table>';
-}
-load();
-</script></body></html>
-"""
 
 
 def make_server(backend: AppBackend, host: str = "127.0.0.1", port: int = 0):

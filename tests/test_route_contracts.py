@@ -90,3 +90,42 @@ def test_unimplemented_surface_is_inventoried():
     assert not unaccounted, (
         f"new reference route modules need a scope decision: {unaccounted}"
     )
+
+
+def test_observatory_spa_served_with_matching_fields(tmp_path):
+    """The observatory SPA is served at / and every API field its views read
+    is present in the corresponding route responses (PoliciesPage /
+    EpisodeDetailPage / heatmap / SQLQuery parity views)."""
+    from metta_tpu.utils.stats_writer import StatsWriter
+    from metta_tpu.web.app_backend import AppBackend
+    from metta_tpu.web.observatory_html import OBSERVATORY_HTML
+
+    db = tmp_path / "stats.sqlite"
+    w = StatsWriter(db)
+    stats = {"agent": [{"heart.gained": 1.0}], "game": {"hearts": 2.0}}
+    w.record_episode(stats, [0.5], sim_suite="arena", sim_name="basic",
+                     policy_uri="file:///p:v1", steps=10)
+    w.close()
+    b = AppBackend(str(db))
+
+    code, page = b.handle("GET", "/", {}, {})
+    assert code == 200 and "__html__" in page
+    html = page["__html__"]
+    assert html == OBSERVATORY_HTML
+    for view in ("policies", "episodes", "heatmap", "sql"):
+        assert f'data-v="{view}"' in html
+
+    # fields the SPA reads, per view
+    _, pol = b.handle("GET", "/stats/policies", {}, {})
+    assert {"policy_uri", "episodes", "last_seen"} <= set(pol["policies"][0])
+    _, eps = b.handle("POST", "/stats/episodes/query", {}, {"limit": 10})
+    assert "episode_id" in eps["episodes"][0]
+    eid = eps["episodes"][0]["episode_id"]
+    _, met = b.handle("GET", f"/stats/episodes/{eid}/metrics", {}, {})
+    assert {"agent_id", "metric", "value"} <= set(met["agent_metrics"][0])
+    _, hm = b.handle("GET", "/dashboard/heatmap", {"metric": ["reward"]}, {})
+    assert {"policies", "sims", "cells"} <= set(hm)
+    assert {"policy", "sim", "value"} <= set(hm["cells"][0])
+    _, sq = b.handle("POST", "/sql/query", {},
+                     {"query": "SELECT episode_id FROM episodes"})
+    assert {"columns", "rows"} <= set(sq)
