@@ -105,18 +105,33 @@ class MettaGridEnv:
             and backend not in ("cpu",)
         )
         from metta_tpu.ops.obs_render3 import supports_v3
+        from metta_tpu.ops.sim_fused import supports_fused
 
         self._pl3 = self._pl2 and supports_v3(tables, num_envs)
+        # Fused Pallas sim step (ops/sim_fused.py): the whole interaction
+        # span in one env-in-lanes kernel, byte-identical to the XLA batched
+        # step (tests/test_sim_fused.py). Requires 128-env blocks.
+        self._fused = (
+            self._pl2
+            and supports_fused(tables)
+            and (num_envs % 128 == 0 or num_envs < 128)
+        )
 
         def _stepped(vstate_env, actions):
             """vmapped sim step + batched obs render → (env, obs)."""
             if self._pl2:
                 from metta_tpu.ops.obs_render2 import render_obs_pallas2
                 from metta_tpu.ops.obs_render3 import render_obs_pallas3
+                from metta_tpu.ops.sim_fused import fused_step_full
 
-                env, rew_at_obs = jax.vmap(
-                    lambda s, a: _step_env(s, a, tables, render="defer")
-                )(vstate_env, actions)
+                if self._fused:
+                    env, rew_at_obs = fused_step_full(
+                        vstate_env, actions, tables
+                    )
+                else:
+                    env, rew_at_obs = jax.vmap(
+                        lambda s, a: _step_env(s, a, tables, render="defer")
+                    )(vstate_env, actions)
                 if self._pl3:
                     obs = render_obs_pallas3(
                         env, tables, env.executed_action, rew_at_obs

@@ -25,6 +25,8 @@ from metta_tpu.builder.envs import make_combat
 from metta_tpu.engine.env import MettaGridEnv
 from metta_tpu.engine.step_batched import step_env_batched_sim
 from metta_tpu.ops import obs_render2 as o2
+from metta_tpu.ops import obs_render3 as o3
+from metta_tpu.ops.sim_fused import fused_step_full
 
 
 def time_fn(run_jit, args, steps):
@@ -44,7 +46,7 @@ def main():
     ap.add_argument("--num-envs", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--agents", type=int, default=24)
-    ap.add_argument("--eps", type=int, default=1)
+    ap.add_argument("--eps", type=int, default=8)
     args = ap.parse_args()
 
     cfg = make_combat(num_agents=args.agents)
@@ -58,7 +60,7 @@ def main():
     vstate, obs = env.reset_fn(key)
     st = vstate.env
 
-    sim_step = jax.vmap(lambda s, a: step_env_batched_sim(s, a, tables)[0])
+    sim_step = lambda s, a: fused_step_full(s, a, tables)[0]
     actions = jnp.zeros((E, tables.num_agents), jnp.int32)
 
     # ---- sim only (the state-advance baseline both loops share) ----
@@ -75,7 +77,7 @@ def main():
             s, acc = carry
             s = sim_step(s, actions)
             outs = jax.vmap(
-                lambda e, ea, rw: o2.prep_env(e, tables, ea, rw)
+                lambda e, ea, rw: o3.prep_env3(e, tables, ea, rw)
             )(s, s.executed_action, s.reward)
             acc = acc + sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
             return (s, acc), ()
@@ -87,7 +89,7 @@ def main():
         def body(carry, _):
             s, acc = carry
             s = sim_step(s, actions)
-            o = o2.render_obs_pallas2(
+            o = o3.render_obs_pallas3(
                 s, tables, s.executed_action, s.reward, eps=args.eps
             )
             return (s, acc + jnp.sum(o.astype(jnp.int32))), ()
