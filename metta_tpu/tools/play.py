@@ -24,6 +24,8 @@ class PlayTool(Tool):
     fps: float = 5.0
     seed: int = 0
     interactive: bool = False  # raw-tty miniscope (pause/camera/manual control)
+    serve: bool = False        # browser live play (WebSocket mettascope server)
+    port: int = 8070
 
     def invoke(self) -> int:
         import numpy as np
@@ -42,6 +44,12 @@ class PlayTool(Tool):
             policy = NetworkPolicy.from_bundle(self.policy_uri, env, n_slots=A)
         else:
             policy = RandomPolicy(env.compiled.n_actions, seed=self.seed)
+        if self.serve:
+            from metta_tpu.renderer.live_server import serve_play
+
+            serve_play(env, policy, fps=self.fps, max_steps=self.steps,
+                       port=self.port)
+            return 0
         renderer = MiniscopeRenderer(env)
         import sys
 
