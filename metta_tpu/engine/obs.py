@@ -126,11 +126,89 @@ def _type_lut(tables, t):
     return tags, vibe, max_uses
 
 
+def _asm_proto_batched(state, tables):
+    """Selected protocol per assembler, batched over the NA axis.
+
+    Replaces per-station ``surrounding_vibe_key`` + ``select_protocol``
+    calls (which lower to NA tiny sorts and serialized picks) with one
+    [NA, 8, A] neighbor match, a counting-sort key, and argmax-over-NP
+    selection — identical results (protocols.py semantics).
+
+    Returns (p_idx [NA] into proto/uproto tables, use_un [NA] bool).
+    """
+    NA = tables.n_assembler_slots
+    NP = tables.n_protocols
+    NUP = tables.n_unclip_protocols
+    V = tables.num_vibes
+    H, W = tables.height, tables.width
+    offs = jnp.array(
+        [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)],
+        jnp.int32,
+    )
+    rr = state.asm_r[:, None] + offs[None, :, 0]            # [NA, 8]
+    cc = state.asm_c[:, None] + offs[None, :, 1]
+    inb = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
+    match = (state.agent_r[None, None, :] == rr[..., None]) & (
+        state.agent_c[None, None, :] == cc[..., None]
+    )                                                        # [NA, 8, A]
+    is_agent = inb & jnp.any(match, axis=-1)
+    vibes = jnp.where(
+        is_agent,
+        jnp.sum(jnp.where(match, state.agent_vibe[None, None, :], 0), axis=-1),
+        0,
+    )                                                        # [NA, 8]
+    n_agents = jnp.sum(is_agent.astype(jnp.int32), axis=1)   # [NA]
+    # ascending sorted key via counting sort (values < V)
+    cnt = jnp.sum(
+        (vibes[:, :, None] == jnp.arange(V)[None, None, :]).astype(jnp.int32),
+        axis=1,
+    )                                                        # [NA, V]
+    cum = jnp.cumsum(cnt, axis=1)
+    key_vec = jnp.sum(
+        (cum[:, None, :] <= jnp.arange(8)[None, :, None]).astype(jnp.int32),
+        axis=2,
+    )                                                        # [NA, 8]
+
+    def pick(cands):                                         # [NA, NP] -> [NA]
+        score = jnp.where(cands, tables.proto_rank[None, :], -1)
+        best = jnp.argmax(score, axis=1).astype(jnp.int32)
+        return jnp.where(jnp.max(score, axis=1) >= 0, best, -1)
+
+    cands = (
+        tables.proto_valid[None, :]
+        & (tables.proto_type[None, :] == state.asm_type[:, None])
+        & (tables.proto_min_agents[None, :] <= n_agents[:, None])
+    )                                                        # [NA, NP]
+    exact = jnp.all(
+        tables.proto_key[None, :, :] == key_vec[:, None, :], axis=2
+    )
+    zero = jnp.all(tables.proto_key == 0, axis=1)            # [NP]
+    idx = pick(cands & exact)
+    idx0 = pick(cands & zero[None, :])
+    p_norm = jnp.where(idx >= 0, idx, idx0)
+
+    up = state.asm_unclip_proto                              # [NA]
+    i_u = jnp.clip(up, 0, NUP - 1)
+    min_u = tables.uproto_min_agents[i_u]
+    key_u = tables.uproto_key[i_u]                           # [NA, 8]
+    ok_u = (up >= 0) & (min_u <= n_agents)
+    key_match = jnp.all(key_u == key_vec, axis=1) | jnp.all(key_u == 0, axis=1)
+    p_un = jnp.where(ok_u & key_match, i_u, -1)
+
+    use_un = state.asm_clipped
+    return jnp.where(use_un, p_un, p_norm), use_un
+
+
 def build_assembler_blocks(state, tables):
     """Per-assembler block (assembler.hpp:528-578)."""
     f = tables.feat_id
     K = tables.max_tokens_per_cell
     R = tables.num_resources
+
+    if tables.protocol_details_obs:
+        p_idx_all, use_un_all = _asm_proto_batched(state, tables)
+    else:
+        p_idx_all = use_un_all = None
 
     def one(i):
         t = state.asm_type[i]
@@ -142,12 +220,8 @@ def build_assembler_blocks(state, tables):
         head_ok = jnp.stack([remaining > 0, state.asm_clipped[i], max_uses > 0])
 
         if tables.protocol_details_obs:
-            key_vec, n_agents, _, _, _ = surrounding_vibe_key(state, tables, state.asm_r[i], state.asm_c[i])
-            p_norm = select_protocol(tables, t, key_vec, n_agents)
-            p_un = select_unclip_protocol(tables, state.asm_unclip_proto[i], key_vec, n_agents)
-            clipped = state.asm_clipped[i]
-            use_un = clipped
-            p_idx = jnp.where(use_un, p_un, p_norm)
+            p_idx = p_idx_all[i]
+            use_un = use_un_all[i]
             has_p = p_idx >= 0
             p_safe = jnp.clip(p_idx, 0, None)
             pn_oh = jnp.clip(p_safe, 0, tables.n_protocols - 1) == jnp.arange(tables.n_protocols)
