@@ -892,7 +892,9 @@ class CortexStack(nn.Module):
     Sequence mode (x [T, B, D]): blocks with chunkwise-parallel cells (mLSTM,
     conv) process the whole segment in one call — the reference keeps Triton
     kernels for exactly this (``cortex/kernels/triton/mlstm/``); other blocks
-    step through an unrolled time loop with shared parameters."""
+    run one ``nn.scan`` over time with broadcast parameters (a python loop
+    here unrolled the block body T times into the learn program — ~800k
+    jaxpr eqns at bptt 256 — which the remote-compile helper cannot chew)."""
 
     spec: StackSpec
 
@@ -900,18 +902,20 @@ class CortexStack(nn.Module):
     def __call__(self, x, state):
         new_state = {}
         if x.ndim == 3:
-            T = x.shape[0]
+            def step(mdl, carry, xt):
+                y, s2 = mdl(xt, carry)
+                return s2, y
+
             for i, bspec in enumerate(self.spec.blocks):
                 blk = bspec.make(f"block_{i}")
                 s = state[f"block_{i}"]
                 if _block_native_sequence(bspec):
                     x, s = blk(x, s)
                 else:
-                    ys = []
-                    for t in range(T):
-                        y, s = blk(x[t], s)
-                        ys.append(y)
-                    x = jnp.stack(ys, axis=0)
+                    s, x = nn.scan(
+                        step, variable_broadcast="params",
+                        split_rngs={"params": False},
+                    )(blk, s, x)
                 new_state[f"block_{i}"] = s
             if self.spec.post_norm:
                 x = nn.LayerNorm(use_bias=False, name="post_norm")(x)
