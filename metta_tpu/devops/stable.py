@@ -95,7 +95,17 @@ def _train_100m():
 
     tool = TrainTool(run="stable_100m")
     tool.trainer = TrainerConfig(
-        total_timesteps=100_000_000, track_env_stats=True)
+        total_timesteps=100_000_000, track_env_stats=True,
+        # reference env count: forward_pass_minibatch_target_size=4096 over
+        # 24 agents -> ~170 envs (training_environment.py:52). The derived
+        # default (batch/bptt/agents = 341) halves per-env episode depth —
+        # with 10k-step episodes that is ~1.2 episodes/env per 100M run.
+        num_envs=170,
+    )
+    # reference curricula reweight continuously as episodes complete; the
+    # CLI default interval (50 updates) exceeds the run's 48 updates, so the
+    # LP algorithm never acted at all (uniform task sampling throughout)
+    object.__setattr__(tool, "curriculum_interval", 5)
     tool.with_curriculum(make_curriculum())
     return tool
 

@@ -54,6 +54,7 @@ class MTVecState:
     last_episode_reward: jnp.ndarray  # [E, A] f32 of the last finished episode
     last_episode_task: jnp.ndarray    # [E] int32 task of the last finished episode
     last_episode_gained: jnp.ndarray  # [E, R] f32 agent-mean resources gained
+    episodes_done: jnp.ndarray        # [E] int32 total finished episodes
 
 
 def _stack_pytrees(items: Sequence[Any]):
@@ -226,6 +227,7 @@ class MultiTaskEnv:
                 last_episode_task=jnp.zeros((E,), jnp.int32),
                 last_episode_gained=jnp.zeros(
                     (E, tables0.num_resources), jnp.float32),
+                episodes_done=jnp.zeros((E,), jnp.int32),
             ), obs
 
         def step_core(vstate: MTVecState, actions, ts: TaskSetData):
@@ -268,6 +270,7 @@ class MultiTaskEnv:
                 last_episode_reward=episode_done_rew,
                 last_episode_task=episode_done_task,
                 last_episode_gained=episode_done_gained,
+                episodes_done=vstate.episodes_done + ended.astype(jnp.int32),
             )
             return vstate, obs, rewards, done, truncated
 

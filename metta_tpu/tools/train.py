@@ -178,9 +178,24 @@ class TrainTool(Tool):
                 if self.trainer.track_env_stats:
                     # per-episode env stat gate inputs (reference namespace
                     # env_agent/<resource>.gained — acceptance criteria in
-                    # devops/stable.py read these)
+                    # devops/stable.py read these). Averaged over episodes
+                    # finished SINCE THE LAST LOG LINE: last_episode_gained
+                    # is sticky per env, and with long episodes most envs'
+                    # "last" episode is the desync-truncated first one from
+                    # early training — averaging the sticky values buries
+                    # every later improvement under stale zeros (the
+                    # reference logs each finished episode as it completes).
                     vst = ts.vstate
-                    done_mask = np.asarray(vst.episode_len) > 0
+                    eps_done = getattr(vst, "episodes_done", None)
+                    if eps_done is not None:
+                        eps_done = np.asarray(eps_done)
+                        prev = getattr(self, "_eps_done_prev", None)
+                        fresh = (eps_done > prev) if prev is not None else (
+                            eps_done > 0)
+                        self._eps_done_prev = eps_done
+                        done_mask = fresh
+                    else:
+                        done_mask = np.asarray(vst.episode_len) > 0
                     if done_mask.any():
                         gained = np.asarray(vst.last_episode_gained)[done_mask]
                         for ri, rn in enumerate(res_names):

@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--data-dir", type=str, default="/tmp/stable_r4")
+    ap.add_argument("--chunks", type=int, default=1)
     args = ap.parse_args()
 
     from metta_tpu.devops.stable import STABLE_JOBS, evaluate_acceptance
@@ -28,6 +29,8 @@ def main():
     job = STABLE_JOBS["arena_100m"]
     tool = job.make_tool()
     tool.trainer.seed = args.seed
+    if args.chunks > 1:
+        tool.trainer.rollout_chunks = args.chunks
     print(f"arena_100m seed={args.seed} core={tool.policy.core}", flush=True)
     object.__setattr__(tool, "data_dir", args.data_dir)
     rc = tool.invoke()
