@@ -48,6 +48,14 @@ class ViTConfig:
     # TPU path kept for benchmarks/tests that opt in explicitly.
     core: str = "Ag,A,S"
     core_layers: int = 2
+    # activation/matmul dtype for the token/perceiver/head stack. bfloat16 is
+    # the TPU default (MXU-native); float32 exists for numerics tests — the
+    # single-vs-multi-device gradient-equivalence test must isolate the
+    # collective path from bf16 reduction-order noise (a batch-dim bias-grad
+    # reduce over n bf16 terms carries O(n·ulp) error, so a 128-term single
+    # -device sum and four 32-term shard sums legitimately differ by ~3% when
+    # the sum nearly cancels).
+    compute_dtype: str = "bfloat16"
     # >0: the critic head outputs this many quantiles (value = their mean);
     # required by the quantile_ppo_critic loss (reference quantile archs).
     num_quantiles: int = 0
@@ -98,6 +106,7 @@ class ViTPolicy(nn.Module):
     @nn.compact
     def __call__(self, obs, state):
         c = self.cfg
+        dtype = jnp.dtype(c.compute_dtype)
         seq = obs.ndim == 4                        # [T, B, K, 3] segment
         if seq:
             T, B = obs.shape[0], obs.shape[1]
@@ -107,12 +116,14 @@ class ViTPolicy(nn.Module):
             num_freqs=c.fourier_freqs,
             max_tokens=c.max_tokens,
             feature_norms=self.feature_norms,
+            dtype=dtype,
             name="token_embed",
         )(obs)
         latent = PerceiverLatent(
             latent_dim=c.latent_dim,
             num_latents=c.core_num_latents,
             num_heads=c.core_num_heads,
+            dtype=dtype,
             name="perceiver",
         )(tokens, mask)
         if seq:
@@ -123,24 +134,29 @@ class ViTPolicy(nn.Module):
                 latent.astype(jnp.float32), state)
         else:
             core_out, new_state = LSTMCore(hidden=c.latent_dim, name="core")(latent, state)
-        x = core_out.astype(jnp.bfloat16)
+        x = core_out.astype(dtype)
         # Intermediates for auxiliary losses (reference TensorDict keys
         # obs_latent_attn / core / future_latent_pred); sow is a no-op unless
         # apply() requests mutable=["intermediates"].
         self.sow("intermediates", "latent_out", latent.astype(jnp.float32))
         self.sow("intermediates", "core_out", core_out.astype(jnp.float32))
         if c.predict_future:
-            fut = MLP(hidden=(c.latent_dim,), out=c.latent_dim, name="future_head")(x)
+            fut = MLP(hidden=(c.latent_dim,), out=c.latent_dim, dtype=dtype,
+                      name="future_head")(x)
             self.sow("intermediates", "future_latent_pred", fut.astype(jnp.float32))
-        actor_h = MLP(hidden=(c.actor_hidden,), out=c.actor_hidden, name="actor_mlp")(x)
+        actor_h = MLP(hidden=(c.actor_hidden,), out=c.actor_hidden, dtype=dtype,
+                      name="actor_mlp")(x)
         logits = nn.Dense(self.n_actions, dtype=jnp.float32, name="actor_head")(
-            nn.relu(actor_h).astype(jnp.bfloat16)
+            nn.relu(actor_h).astype(dtype)
         )
         if c.num_quantiles > 0:
-            value_q = MLP(hidden=(c.critic_hidden,), out=c.num_quantiles, name="critic")(x)
+            value_q = MLP(hidden=(c.critic_hidden,), out=c.num_quantiles,
+                          dtype=dtype, name="critic")(x)
             self.sow("intermediates", "value_q", value_q)
             value = jnp.mean(value_q, axis=-1)
         else:
-            value = MLP(hidden=(c.critic_hidden,), out=1, name="critic")(x)[..., 0]
-        h_value = MLP(hidden=(c.critic_hidden,), out=1, name="gtd_aux")(x)[..., 0]
+            value = MLP(hidden=(c.critic_hidden,), out=1, dtype=dtype,
+                        name="critic")(x)[..., 0]
+        h_value = MLP(hidden=(c.critic_hidden,), out=1, dtype=dtype,
+                      name="gtd_aux")(x)[..., 0]
         return logits, value, h_value, new_state

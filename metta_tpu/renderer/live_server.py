@@ -120,6 +120,10 @@ class LivePlaySession:
         self._lock = threading.Lock()
         self._stop = False
         self.step_idx = 0
+        # incremented by the run loop on every pass that does NOT step; the
+        # loop is single-threaded, so once this advances after a "pause" any
+        # in-flight step has landed — tests wait on it instead of sleeping
+        self.idle_passes = 0
         self.last_frame: Optional[dict] = None
         self.obs = env.reset(seed=0)
 
@@ -175,6 +179,9 @@ class LivePlaySession:
                 self.step_requested = False
             if do_step:
                 self._one_step()
+            else:
+                with self._lock:
+                    self.idle_passes += 1
             dt = time.time() - t0
             time.sleep(max(period - dt, 0.01))
 

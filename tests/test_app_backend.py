@@ -124,4 +124,5 @@ def test_dashboard_html_page(backend):
         assert r.status == 200
         assert "text/html" in r.headers["Content-Type"]
         body = r.read().decode()
-    assert "policy scorecard" in body and "/dashboard/heatmap" in body
+    # the r4 observatory SPA replaced the old scorecard dashboard page
+    assert "metta_tpu observatory" in body and "/dashboard/heatmap" in body

@@ -130,15 +130,17 @@ def test_pause_and_single_step(live):
     s = _connect(server)
     _client_recv_text(s)                      # init
     _client_send_text(s, json.dumps({"type": "pause"}))
-    # wait until stepping settles (an in-flight jitted step may land late)
+    # wait for TWO idle passes of the (single-threaded) run loop after the
+    # pause: the first proves the pause was observed, the second that any
+    # step in flight when it was observed has landed — deterministic, no
+    # sleep-and-hope window
+    idle0 = session.idle_passes
     t0 = time.time()
+    while session.idle_passes < idle0 + 2 and time.time() - t0 < 20:
+        time.sleep(0.05)
+    assert session.idle_passes >= idle0 + 2, "pause never took effect"
     step0 = session.step_idx
-    while time.time() - t0 < 10:
-        time.sleep(0.5)
-        if session.step_idx == step0:
-            break
-        step0 = session.step_idx
-    time.sleep(0.5)
+    time.sleep(0.3)
     assert session.step_idx == step0          # paused: no stepping
     s.settimeout(0.5)
     try:
@@ -149,7 +151,13 @@ def test_pause_and_single_step(live):
     s.settimeout(5)
     _client_send_text(s, json.dumps({"type": "step"}))
     t0 = time.time()
-    while session.step_idx == step0 and time.time() - t0 < 5:
+    while session.step_idx == step0 and time.time() - t0 < 10:
+        time.sleep(0.05)
+    # wait for two more idle passes so a hypothetical second step would have
+    # had the chance to land before we assert it didn't
+    idle1 = session.idle_passes
+    t0 = time.time()
+    while session.idle_passes < idle1 + 2 and time.time() - t0 < 10:
         time.sleep(0.05)
     assert session.step_idx == step0 + 1      # exactly one step
     s.close()
