@@ -25,6 +25,7 @@ import numpy as np
 
 from metta_tpu.engine.protocols import select_protocol, select_unclip_protocol, surrounding_vibe_key
 from metta_tpu.engine.state import KIND_ASSEMBLER, KIND_CHEST, KIND_WALL
+from metta_tpu.engine.xprec import exact_matmuls
 
 EMPTY = 255
 
@@ -299,6 +300,7 @@ def _compact_blocks(blocks, oks):
     return compacted, counts
 
 
+@exact_matmuls
 def render_observations(state, tables, executed_actions, rewards_at_obs):
     """Render all agents' token observations → [A, T, 3] uint8.
 

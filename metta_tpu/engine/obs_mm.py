@@ -17,10 +17,12 @@ instead of per-agent slivers):
    gives per-cell token planes and token counts in a single GEMM (counts ride
    along as an extra table column).
 3. *Compaction*: each cell's tokens start at output slot
-   ``start[s] = g_count + cum_excl[s]``. An ``[S, T]`` one-hot ``U`` scatters
-   whole cells via a batched (over agents) ``Uᵀ @ CTK``; the intra-cell
-   offset ``k`` is then resolved by summing along anti-diagonals
-   (``out[t] = Σ_k R[t-k, k]``) — static slices, not gathers.
+   ``start[s] = g_count + cum_excl[s]``. One batched GEMM scatters every
+   (cell, k) token straight to its slot:
+   ``out[a, t, p] = Σ_{s,k} plane_p[a, s, k] · [start[a, s] + k == t]``.
+   (An earlier two-stage form — slot one-hot GEMM then an anti-diagonal
+   shifted-slice reduction — was silently miscompiled on real TPU; see the
+   inline note at the scatter.)
 
 Exactness: every matmul is a 0/1 one-hot against integer-valued planes
 ``< 256`` (bf16-exact) accumulated in f32 (exact for ints < 2^24), so the
@@ -43,6 +45,7 @@ from metta_tpu.engine.obs import (
     build_wall_blocks,
 )
 from metta_tpu.engine.state import KIND_ASSEMBLER, KIND_CHEST, KIND_WALL
+from metta_tpu.engine.xprec import exact_matmuls
 
 
 def _compact_blocks_mm(blocks, oks, K):
@@ -129,11 +132,14 @@ def _global_tokens_all(state, tables, executed_actions, rewards_at_obs,
     return jnp.sum(oki, axis=1), g_loc, g_feat, g_val
 
 
-def render_observations_mm(state, tables, executed_actions, rewards_at_obs):
+@exact_matmuls
+def render_observations_mm(state, tables, executed_actions, rewards_at_obs,
+                           _debug=False):
     """Render all agents' token observations → [A, T, 3] uint8.
 
     Single-env view (vmapped over the env batch by the caller), byte-identical
-    to the gather renderer.
+    to the gather renderer. ``_debug=True`` returns a dict of intermediates
+    instead (platform-differential bisection).
     """
     A = tables.num_agents
     T = tables.num_obs_tokens
@@ -226,26 +232,39 @@ def render_observations_mm(state, tables, executed_actions, rewards_at_obs):
     cum = jnp.cumsum(counts_w, axis=1)                              # [A, S]
     start = g_count[:, None] + cum - counts_w
     total = g_count + cum[:, -1]
-    U = (start[:, :, None] == jnp.arange(T)[None, None, :]).astype(jnp.bfloat16)
-    ctk_all = jnp.concatenate(
-        [ctk_loc.astype(jnp.bfloat16), ctk[..., : 2 * K].astype(jnp.bfloat16)], axis=2
-    )                                                               # [A, S, 3K]
-    Rm = jax.lax.dot_general(
-        U, ctk_all, (((1,), (1,)), ((0,), (0,))),
+    _dbg = dict(start=start, total=total) if _debug else None
+    # f32 + HIGHEST here is a hardware-correctness requirement, not a
+    # precision nicety: with bf16 operands this batched dot, when XLA fuses
+    # it into the anti-diagonal consumer below, recomputes per-slice with a
+    # non-lane-aligned S contraction and produced corrupted rows on real TPU
+    # (extra shifted contributions; CPU and the unfused TPU program agree).
+    # One GEMM scatters every (cell, k) token straight to its output slot:
+    # out[a, t, p] = Σ_{s,k} plane_p[a, s, k] · [start[a, s] + k == t].
+    # The earlier two-stage form (slot one-hot GEMM, then an anti-diagonal
+    # pad/shifted-slice/accumulate over k) was SILENTLY MISCOMPILED on real
+    # TPU: the dot output was correct, but the same program's shifted-slice
+    # reduction of it returned rows with extra contributions (CPU, and
+    # host-side numpy on the returned dot output, agree; tried lane- and
+    # sublane-major layouts and optimization barriers — all wrong on
+    # hardware). Folding the k-shift into the one-hot removes that op class
+    # from the program entirely.
+    oh2 = (
+        (start[:, :, None, None] + kiota[None, None, :, None])
+        == jnp.arange(T)[None, None, None, :]
+    ).astype(jnp.float32)                                           # [A, S, K, T]
+    ctk_planes = jnp.stack(
+        [ctk_loc.astype(jnp.float32),
+         ctk[..., :K].astype(jnp.float32),
+         ctk[..., K:2 * K].astype(jnp.float32)], axis=3
+    )                                                               # [A, S, K, 3]
+    SK = S * K
+    out3 = jax.lax.dot_general(
+        oh2.reshape(A, SK, T), ctk_planes.reshape(A, SK, 3),
+        (((1,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )                                                               # [A, T, 3K]
-
-    # ---- anti-diagonal reduction: out[a, t] = Σ_k Rm[a, t-k, k] ----
-    Rp = jnp.pad(Rm, ((0, 0), (K - 1, 0), (0, 0)))
-    planes = []
-    for p in range(3):
-        acc = jnp.zeros((A, T), jnp.float32)
-        for k in range(K):
-            acc = acc + jax.lax.slice_in_dim(
-                Rp[:, :, p * K + k], K - 1 - k, K - 1 - k + T, axis=1
-            )
-        planes.append(acc)
-    obj_loc, obj_feat, obj_val = planes
+    )                                                               # [A, T, 3]
+    obj_loc, obj_feat, obj_val = out3[..., 0], out3[..., 1], out3[..., 2]
 
     # ---- merge globals (disjoint slots) + validity mask ----
     Gp = int(g_loc.shape[1])
@@ -262,4 +281,9 @@ def render_observations_mm(state, tables, executed_actions, rewards_at_obs):
          val_t.astype(jnp.int32).astype(jnp.uint8)],
         axis=-1,
     )
+    if _debug:
+        _dbg.update(out3=out3, obj_loc=obj_loc,
+                    obj_feat=obj_feat, obj_val=obj_val, loc_t=loc_t,
+                    feat_t=feat_t, val_t=val_t, out=out)
+        return _dbg
     return jnp.where(valid[:, :, None], out, jnp.uint8(EMPTY))

@@ -22,6 +22,7 @@ from metta_tpu.engine.obs import render_observations
 from metta_tpu.engine.rewards import apply_damage, apply_regen, compute_stat_rewards
 from metta_tpu.engine.state import EnvState
 from metta_tpu.engine.tables import Tables
+from metta_tpu.engine.xprec import exact_matmuls
 
 
 def make_initial_state(tables: Tables, init: dict, key) -> EnvState:
@@ -142,6 +143,7 @@ def initial_observations(state: EnvState, tables: Tables):
     return render_observations(state, tables, zeros, jnp.zeros((A,), jnp.float32))
 
 
+@exact_matmuls
 def step_env(state: EnvState, actions, tables: Tables, perm=None):
     """One environment step. Returns (new_state, obs [A,T,3] uint8).
 

@@ -132,6 +132,10 @@ def _read_cells(plane_hw, r, c):
     return jnp.sum(jnp.where(coh, tmp, 0.0), axis=1).astype(plane_hw.dtype)
 
 
+from metta_tpu.engine.xprec import exact_matmuls
+
+
+@exact_matmuls
 def step_env_batched(state, actions, tables, render=True, perm=None):
     """One batched-arbitration step. Same signature/returns as step_env.
 

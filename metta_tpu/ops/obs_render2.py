@@ -36,6 +36,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from metta_tpu.engine.xprec import exact_matmuls
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -266,6 +267,7 @@ def _static_cols(tables, A) -> np.ndarray:
     return out
 
 
+@exact_matmuls
 def prep_core(state, tables, ea, rw):
     """Per-env XLA prep shared by the v2/v3 pallas renderers: raw compacted
     block token planes, combined agent+static block grid, global token
@@ -334,6 +336,7 @@ def prep_core(state, tables, ea, rw):
     return comp_feat, comp_val, counts, sb, g_count, g_loc, g_feat, g_val, rc
 
 
+@exact_matmuls
 def prep_env(state, tables, ea, rw):
     """Per-env XLA prep for the v2 pallas renderer: compacted block token
     table, combined agent+static block grid, global tokens, agent positions.

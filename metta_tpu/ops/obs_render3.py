@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from metta_tpu.ops.obs_render2 import prep_core
+from metta_tpu.engine.xprec import exact_matmuls
 
 EMPTY = 255
 LW = 16             # lanes per window row in the sparse layout (pow2 >= WW)
@@ -275,6 +276,7 @@ def _call_kernel3(sb, cq, rc, gcnt_t, g3p_t, statics_tuple,
     return out
 
 
+@exact_matmuls
 def prep_env3(state, tables, ea, rw):
     """Per-env XLA prep for the v3 kernel: padded block grid, packed token
     table (two (feat<<8|val) pairs per int32 lane + counts), agent positions,

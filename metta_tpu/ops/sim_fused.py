@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from metta_tpu.engine.compiler import ACT_CHANGE_VIBE, ACT_MOVE, ACT_NOOP
 from metta_tpu.engine.state import KIND_ASSEMBLER, KIND_CHEST
+from metta_tpu.engine.xprec import exact_matmuls
 
 _NEIGHBOR_OFFS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
 
@@ -987,6 +988,7 @@ def call_fused(tables, act, rank, r0, c0, vibe0, frozen0, pk, inv, step1,
     )(act, rank, r0, c0, vibe0, frozen0, pk, inv, step1, asmf, chf, chinv)
 
 
+@exact_matmuls
 def fused_step_full(state, actions, tables, EL: int = 128,
                     interpret: bool = False):
     """Full batched step via the fused kernel; mirrors
