@@ -93,7 +93,10 @@ def _train_100m():
     from recipes.arena_basic_easy_shaped import make_curriculum
     from metta_tpu.tools.train import TrainTool
 
-    tool = TrainTool(run="stable_100m")
+    # reference curricula reweight continuously as episodes complete; the
+    # CLI default interval (50 updates) exceeds the run's ~96 updates worth
+    # of useful reweight points, so sync every 5 updates here.
+    tool = TrainTool(run="stable_100m", curriculum_interval=5)
     tool.trainer = TrainerConfig(
         total_timesteps=100_000_000, track_env_stats=True,
         # reference env count: forward_pass_minibatch_target_size=4096 over
@@ -102,17 +105,13 @@ def _train_100m():
         # with 10k-step episodes that is ~1.2 episodes/env per 100M run.
         num_envs=170,
     )
-    # reference curricula reweight continuously as episodes complete; the
-    # CLI default interval (50 updates) exceeds the run's 48 updates, so the
-    # LP algorithm never acted at all (uniform task sampling throughout)
-    object.__setattr__(tool, "curriculum_interval", 5)
     tool.with_curriculum(make_curriculum())
     return tool
 
 
 def _train_2b():
     tool = _train_100m()
-    object.__setattr__(tool, "run", "stable_2b")
+    tool.run = "stable_2b"
     tool.trainer.total_timesteps = 2_000_000_000
     return tool
 

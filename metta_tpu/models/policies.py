@@ -233,6 +233,11 @@ _VIT_VARIANTS = {
     # policies/vit_size_2.py: double-width variant
     "vit_size_2": dict(latent_dim=256, actor_hidden=512, critic_hidden=1024,
                        name="vit_size_2"),
+    # components/swin_encoder.py: Swin windowed-attention obs encoder
+    "swin": dict(encoder="swin", name="swin"),
+    # components/actor.py ActorQuery/ActorKey + action.py ActionEmbedding:
+    # attention actor head (used by drama_policy.py / mamba_sliding.py)
+    "vit_actor_query": dict(actor_head="query_key", name="vit_actor_query"),
 }
 
 # policies/puffer.py: pufferlib-compatible CNN(128ch) + LSTM(512)

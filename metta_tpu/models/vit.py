@@ -59,6 +59,18 @@ class ViTConfig:
     # >0: the critic head outputs this many quantiles (value = their mean);
     # required by the quantile_ppo_critic loss (reference quantile archs).
     num_quantiles: int = 0
+    # observation encoder: "perceiver" (default) or "swin" (windowed
+    # attention over a patch grid — components/swin_encoder.py parity).
+    encoder: str = "perceiver"
+    swin_window: int = 2
+    swin_patch: int = 4
+    swin_depth: int = 2
+    obs_height: int = 11
+    obs_width: int = 11
+    # actor head: "dense" (default MLP+Dense) or "query_key" (tanh-query ·
+    # action-embedding attention head — components/actor.py:17-105 parity).
+    actor_head: str = "dense"
+    actor_embed_dim: int = 16
     # add a future-latent prediction head from the core (reference
     # ``future_latent_pred`` component, used by the future_latent_ema loss).
     predict_future: bool = False
@@ -119,13 +131,24 @@ class ViTPolicy(nn.Module):
             dtype=dtype,
             name="token_embed",
         )(obs)
-        latent = PerceiverLatent(
-            latent_dim=c.latent_dim,
-            num_latents=c.core_num_latents,
-            num_heads=c.core_num_heads,
-            dtype=dtype,
-            name="perceiver",
-        )(tokens, mask)
+        if c.encoder == "swin":
+            from metta_tpu.models.swin import SwinEncoder
+
+            latent = SwinEncoder(
+                out_dim=c.latent_dim, embed_dim=c.latent_dim,
+                depth=c.swin_depth, num_heads=c.core_num_heads,
+                window_size=c.swin_window, patch_size=c.swin_patch,
+                obs_height=c.obs_height, obs_width=c.obs_width,
+                dtype=dtype, name="swin",
+            )(tokens, mask, obs[:, : c.max_tokens, 0])
+        else:
+            latent = PerceiverLatent(
+                latent_dim=c.latent_dim,
+                num_latents=c.core_num_latents,
+                num_heads=c.core_num_heads,
+                dtype=dtype,
+                name="perceiver",
+            )(tokens, mask)
         if seq:
             latent = latent.reshape(T, B, latent.shape[-1])
         spec = c.stack_spec()
@@ -146,9 +169,17 @@ class ViTPolicy(nn.Module):
             self.sow("intermediates", "future_latent_pred", fut.astype(jnp.float32))
         actor_h = MLP(hidden=(c.actor_hidden,), out=c.actor_hidden, dtype=dtype,
                       name="actor_mlp")(x)
-        logits = nn.Dense(self.n_actions, dtype=jnp.float32, name="actor_head")(
-            nn.relu(actor_h).astype(dtype)
-        )
+        if c.actor_head == "query_key":
+            from metta_tpu.models.swin import ActorQueryKey
+
+            logits = ActorQueryKey(
+                n_actions=self.n_actions, embed_dim=c.actor_embed_dim,
+                dtype=jnp.float32, name="actor_qk",
+            )(nn.relu(actor_h).astype(jnp.float32))
+        else:
+            logits = nn.Dense(self.n_actions, dtype=jnp.float32, name="actor_head")(
+                nn.relu(actor_h).astype(dtype)
+            )
         if c.num_quantiles > 0:
             value_q = MLP(hidden=(c.critic_hidden,), out=c.num_quantiles,
                           dtype=dtype, name="critic")(x)

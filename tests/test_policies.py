@@ -27,6 +27,14 @@ def env():
     FastConfig(cnn_channels=8, hidden=16, critic_hidden=16),
     LSTMPolicyConfig(hidden=16, max_tokens=16),
     MemoryFreeConfig(hidden=16, max_tokens=16),
+    # components/swin_encoder.py parity: windowed-attention obs encoder
+    ViTConfig(latent_dim=16, actor_hidden=16, critic_hidden=16, max_tokens=16,
+              core_num_latents=2, core_num_heads=2, encoder="swin",
+              swin_patch=4, swin_window=2, core="lstm"),
+    # components/actor.py ActorQuery/ActorKey parity: attention actor head
+    ViTConfig(latent_dim=16, actor_hidden=16, critic_hidden=16, max_tokens=16,
+              core_num_latents=2, core_num_heads=2, actor_head="query_key",
+              actor_embed_dim=8, core="lstm"),
 ])
 def test_policy_forward_and_grad(env, cfg):
     policy = cfg.make(env.compiled.n_actions, env.compiled.feature_normalizations)
