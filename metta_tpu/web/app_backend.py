@@ -20,6 +20,11 @@ queue (``sim/remote.py``). Route shapes mirror the reference:
                                           observatory scorecard data)
 - ``POST /tasks`` / ``GET /tasks/available`` / ``POST /tasks/claim`` /
   ``POST /tasks/<id>/finish`` / ``GET /tasks/<id>``  (eval_task_routes.py)
+- ``POST /tokens`` + ``X-Auth-Token`` machine auth   (auth.py)
+- ``GET  /leaderboard?metric=m``         (episodes-based policy ranking)
+- ``POST/GET /tournament/seasons`` / ``.../submissions`` / ``.../matches`` /
+  ``.../policies`` / ``.../leaderboard``  (tournament_routes.py — seasons,
+  policy submissions, referee match-result ingestion, ranked leaderboard)
 
 The React frontends themselves (observatory/gridworks) are out of scope;
 this serves their data contracts locally.
@@ -38,21 +43,213 @@ from urllib.parse import parse_qs, urlparse
 MAX_QUERY_ROWS = 1000
 
 
-class AppBackend:
-    """Route logic, independent of the HTTP transport (unit-testable)."""
+_AUTH_SCHEMA = """
+CREATE TABLE IF NOT EXISTS machine_tokens (
+    token TEXT PRIMARY KEY,
+    name TEXT NOT NULL,
+    user_email TEXT NOT NULL,
+    created_at TEXT DEFAULT CURRENT_TIMESTAMP
+);
+CREATE TABLE IF NOT EXISTS seasons (
+    name TEXT PRIMARY KEY,
+    created_at TEXT DEFAULT CURRENT_TIMESTAMP
+);
+CREATE TABLE IF NOT EXISTS submissions (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    season TEXT NOT NULL,
+    policy_uri TEXT NOT NULL,
+    user_email TEXT NOT NULL,
+    created_at TEXT DEFAULT CURRENT_TIMESTAMP,
+    UNIQUE(season, policy_uri)
+);
+CREATE TABLE IF NOT EXISTS matches (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    season TEXT NOT NULL,
+    players TEXT NOT NULL,
+    created_at TEXT DEFAULT CURRENT_TIMESTAMP
+);
+"""
 
-    def __init__(self, stats_db_path: str, task_queue_dir: Optional[str] = None):
+
+class AppBackend:
+    """Route logic, independent of the HTTP transport (unit-testable).
+
+    ``require_auth=True`` gates every mutating route behind a machine token
+    (reference ``app_backend/auth.py`` user-or-token validation): mint one
+    with ``POST /tokens`` and send it as ``X-Auth-Token``.
+    """
+
+    def __init__(self, stats_db_path: str, task_queue_dir: Optional[str] = None,
+                 require_auth: bool = False):
         self.stats_db_path = stats_db_path
+        self.require_auth = require_auth
         self.queue = None
         if task_queue_dir is not None:
             from metta_tpu.sim.remote import EvalTaskQueue
 
             self.queue = EvalTaskQueue(task_queue_dir)
+        with self._conn() as conn:
+            conn.executescript(_AUTH_SCHEMA)
 
     def _conn(self):
         conn = sqlite3.connect(self.stats_db_path)
         conn.row_factory = sqlite3.Row
         return conn
+
+    # ---- auth (auth.py parity: machine tokens; local user fallback) ----
+
+    def create_token(self, body: dict, user: str) -> dict:
+        import secrets
+
+        token = secrets.token_hex(16)
+        with self._conn() as conn:
+            conn.execute(
+                "INSERT INTO machine_tokens (token, name, user_email) VALUES (?, ?, ?)",
+                (token, body.get("name", "machine"), user),
+            )
+        return {"token": token}
+
+    def _user_for(self, headers: Optional[dict]) -> Optional[str]:
+        """Resolve the requesting user: X-Auth-Token > local user."""
+        token = (headers or {}).get("x-auth-token")
+        if token:
+            with self._conn() as conn:
+                row = conn.execute(
+                    "SELECT user_email FROM machine_tokens WHERE token = ?",
+                    (token,),
+                ).fetchone()
+            return row["user_email"] if row else None
+        return None if self.require_auth else "local@localhost"
+
+    # ---- tournament / leaderboard (tournament_routes.py parity) --------
+
+    def season_create(self, body: dict) -> dict:
+        name = body.get("name") or ""
+        if not re.fullmatch(r"[\w.-]+", name):
+            raise ValueError("season name must be [A-Za-z0-9_.-]+")
+        with self._conn() as conn:
+            conn.execute("INSERT OR IGNORE INTO seasons (name) VALUES (?)", (name,))
+        return {"name": name}
+
+    def seasons(self) -> dict:
+        with self._conn() as conn:
+            rows = conn.execute(
+                "SELECT name, created_at FROM seasons ORDER BY created_at DESC"
+            ).fetchall()
+        return {"seasons": [dict(r) for r in rows]}
+
+    def _need_season(self, conn, season: str):
+        if not conn.execute("SELECT 1 FROM seasons WHERE name = ?", (season,)).fetchone():
+            raise KeyError(season)
+
+    def submit_policy(self, season: str, body: dict, user: str) -> dict:
+        uri = body.get("policy_uri") or ""
+        if not uri:
+            raise ValueError("policy_uri required")
+        with self._conn() as conn:
+            self._need_season(conn, season)
+            conn.execute(
+                "INSERT OR IGNORE INTO submissions (season, policy_uri, user_email)"
+                " VALUES (?, ?, ?)", (season, uri, user),
+            )
+        return {"season": season, "policy_uri": uri, "submitted_by": user}
+
+    def season_policies(self, season: str) -> dict:
+        with self._conn() as conn:
+            self._need_season(conn, season)
+            rows = conn.execute(
+                "SELECT policy_uri, user_email, created_at FROM submissions"
+                " WHERE season = ? ORDER BY created_at", (season,),
+            ).fetchall()
+        return {"policies": [dict(r) for r in rows]}
+
+    def match_record(self, season: str, body: dict) -> dict:
+        """Referee result ingestion: players = [{policy_uri, score}, ...]."""
+        players = body.get("players") or []
+        if not players or not all("policy_uri" in p and "score" in p for p in players):
+            raise ValueError("players must be [{policy_uri, score}, ...]")
+        with self._conn() as conn:
+            self._need_season(conn, season)
+            cur = conn.execute(
+                "INSERT INTO matches (season, players) VALUES (?, ?)",
+                (season, json.dumps(players)),
+            )
+        return {"match_id": cur.lastrowid, "season": season}
+
+    def season_matches(self, season: str, limit: int = 100) -> dict:
+        with self._conn() as conn:
+            self._need_season(conn, season)
+            rows = conn.execute(
+                "SELECT id, players, created_at FROM matches WHERE season = ?"
+                " ORDER BY id DESC LIMIT ?", (season, min(limit, MAX_QUERY_ROWS)),
+            ).fetchall()
+        out = []
+        for r in rows:
+            d = dict(r)
+            d["players"] = json.loads(d["players"])
+            out.append(d)
+        return {"matches": out}
+
+    def season_leaderboard(self, season: str) -> dict:
+        """Ranked entries (tournament_routes.py:139-176): mean score, match
+        count, and wins (strictly-highest score in a match)."""
+        agg: dict = {}
+        with self._conn() as conn:
+            self._need_season(conn, season)
+            for uri, in conn.execute(
+                "SELECT policy_uri FROM submissions WHERE season = ?", (season,)
+            ).fetchall():
+                agg[uri] = {"policy_uri": uri, "matches": 0, "wins": 0,
+                            "score_sum": 0.0}
+            rows = conn.execute(
+                "SELECT players FROM matches WHERE season = ?", (season,)
+            ).fetchall()
+        for r in rows:
+            players = json.loads(r["players"])
+            best = max(float(p["score"]) for p in players)
+            winners = [p for p in players if float(p["score"]) == best]
+            for p in players:
+                e = agg.setdefault(
+                    p["policy_uri"],
+                    {"policy_uri": p["policy_uri"], "matches": 0, "wins": 0,
+                     "score_sum": 0.0})
+                e["matches"] += 1
+                e["score_sum"] += float(p["score"])
+                if len(winners) == 1 and p is winners[0]:
+                    e["wins"] += 1
+        entries = []
+        for e in agg.values():
+            e["mean_score"] = e.pop("score_sum") / e["matches"] if e["matches"] else 0.0
+            entries.append(e)
+        entries.sort(key=lambda e: (-e["mean_score"], -e["wins"]))
+        for i, e in enumerate(entries):
+            e["rank"] = i + 1
+        return {"season": season, "entries": entries}
+
+    def leaderboard(self, metric: str = "reward") -> dict:
+        """Episodes-based policy ranking for the observatory (reference
+        dashboard leaderboard view): mean of a per-episode column or of an
+        agent metric, per policy."""
+        with self._conn() as conn:
+            if metric == "steps":
+                rows = conn.execute(
+                    "SELECT policy_uri, COUNT(*) AS episodes, AVG(steps) AS value"
+                    " FROM episodes GROUP BY policy_uri ORDER BY value DESC"
+                ).fetchall()
+            else:
+                # per-agent metrics (rewards are stored as metric 'reward')
+                rows = conn.execute(
+                    "SELECT e.policy_uri AS policy_uri,"
+                    " COUNT(DISTINCT e.episode_id) AS episodes,"
+                    " AVG(m.value) AS value FROM episodes e"
+                    " JOIN agent_metrics m ON m.episode_id = e.episode_id"
+                    "  AND m.metric = ?"
+                    " GROUP BY e.policy_uri ORDER BY value DESC", (metric,),
+                ).fetchall()
+        entries = [dict(r) for r in rows]
+        for i, e in enumerate(entries):
+            e["rank"] = i + 1
+        return {"metric": metric, "entries": entries}
 
     # ---- stats routes -------------------------------------------------
 
@@ -232,7 +429,9 @@ class AppBackend:
 
     # ---- dispatch ------------------------------------------------------
 
-    def handle(self, method: str, path: str, query: dict, body: dict) -> tuple[int, dict]:
+    def handle(self, method: str, path: str, query: dict, body: dict,
+               headers: Optional[dict] = None) -> tuple[int, dict]:
+        user = self._user_for(headers)
         try:
             if method == "GET" and path == "/":
                 from metta_tpu.web.observatory_html import OBSERVATORY_HTML
@@ -241,7 +440,41 @@ class AppBackend:
             if method == "GET" and path == "/health":
                 return 200, {"status": "ok"}
             if method == "GET" and path == "/whoami":
-                return 200, {"user_email": "local@localhost"}
+                return 200, {"user_email": user or "anonymous"}
+            if method == "POST" and path == "/tokens":
+                # minting a token itself requires auth only in require_auth
+                # mode when a token already exists (bootstrap; auth.py parity)
+                if self.require_auth and user is None:
+                    with self._conn() as conn:
+                        any_token = conn.execute(
+                            "SELECT 1 FROM machine_tokens LIMIT 1").fetchone()
+                    if any_token:
+                        return 401, {"error": "valid X-Auth-Token required"}
+                    user = body.get("user_email", "bootstrap@localhost")
+                return 200, self.create_token(body, user or "local@localhost")
+            # every other mutating route requires a resolved user
+            if method == "POST" and self.require_auth and user is None:
+                return 401, {"error": "valid X-Auth-Token required"}
+            if method == "POST" and path == "/tournament/seasons":
+                return 200, self.season_create(body)
+            if method == "GET" and path == "/tournament/seasons":
+                return 200, self.seasons()
+            m = re.fullmatch(r"/tournament/seasons/([\w.-]+)/submissions", path)
+            if method == "POST" and m:
+                return 200, self.submit_policy(m.group(1), body, user or "anonymous")
+            m = re.fullmatch(r"/tournament/seasons/([\w.-]+)/policies", path)
+            if method == "GET" and m:
+                return 200, self.season_policies(m.group(1))
+            m = re.fullmatch(r"/tournament/seasons/([\w.-]+)/matches", path)
+            if method == "POST" and m:
+                return 200, self.match_record(m.group(1), body)
+            if method == "GET" and m:
+                return 200, self.season_matches(m.group(1))
+            m = re.fullmatch(r"/tournament/seasons/([\w.-]+)/leaderboard", path)
+            if method == "GET" and m:
+                return 200, self.season_leaderboard(m.group(1))
+            if method == "GET" and path == "/leaderboard":
+                return 200, self.leaderboard(query.get("metric", ["reward"])[0])
             if method == "GET" and path == "/stats/policies":
                 return 200, self.policies()
             if method == "POST" and path == "/stats/episodes/query":
@@ -307,7 +540,9 @@ def make_server(backend: AppBackend, host: str = "127.0.0.1", port: int = 0):
                 except ValueError:
                     self._respond(400, {"error": "invalid JSON body"})
                     return
-            code, payload = backend.handle(method, u.path, parse_qs(u.query), body)
+            headers = {k.lower(): v for k, v in self.headers.items()}
+            code, payload = backend.handle(
+                method, u.path, parse_qs(u.query), body, headers)
             self._respond(code, payload)
 
         def do_GET(self):

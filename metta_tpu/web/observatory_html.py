@@ -49,6 +49,7 @@ OBSERVATORY_HTML = """<!doctype html>
   <a href="#/policies" data-v="policies">Policies</a>
   <a href="#/episodes" data-v="episodes">Episodes</a>
   <a href="#/heatmap" data-v="heatmap">Heatmap</a>
+  <a href="#/leaderboard" data-v="leaderboard">Leaderboard</a>
   <a href="#/sql" data-v="sql">SQL</a>
 </nav>
 <main id="main"></main>
@@ -110,6 +111,18 @@ const views = {
         '<h3>Agent metrics</h3>' +
         table(['agent_id', 'metric', 'value'], d2.agent_metrics);
     });
+  },
+
+  async leaderboard(m, params) {
+    const metric = params.get('metric') || 'reward';
+    m.innerHTML = '<h2>Policy leaderboard</h2>' +
+      '<div class="bar"><input id="lb" value="' + esc(metric) + '">' +
+      '<button id="go">Load</button></div><div id="tbl"></div>';
+    m.querySelector('#go').onclick = () =>
+      location.hash = '#/leaderboard?metric=' + encodeURIComponent(m.querySelector('#lb').value);
+    const d = await J('/leaderboard?metric=' + encodeURIComponent(metric));
+    m.querySelector('#tbl').innerHTML =
+      table(['rank', 'policy_uri', 'episodes', 'value'], d.entries);
   },
 
   async heatmap(m, params) {
