@@ -409,6 +409,21 @@ class AppBackend:
                     pending.append(json.load(fh))
         return {"tasks": pending}
 
+    def tasks_all(self) -> dict:
+        """Every task across pending/claimed/done (eval_task_routes.py list
+        view — what the observatory EvalTasks page shows)."""
+        import os
+
+        q = self._need_queue()
+        out = []
+        for state in ("pending", "claimed", "done"):
+            sdir = os.path.join(q.queue_dir, state)
+            for f in sorted(os.listdir(sdir)):
+                if f.endswith(".json"):
+                    with open(os.path.join(sdir, f)) as fh:
+                        out.append(json.load(fh))
+        return {"tasks": out}
+
     def task_claim(self, body: dict) -> dict:
         task = self._need_queue().claim(body.get("worker_id", "http"))
         return task.to_json() if task is not None else {}
@@ -495,6 +510,8 @@ class AppBackend:
                 return 200, self.task_create(body)
             if method == "GET" and path == "/tasks/available":
                 return 200, self.tasks_available()
+            if method == "GET" and path == "/tasks":
+                return 200, self.tasks_all()
             if method == "POST" and path == "/tasks/claim":
                 return 200, self.task_claim(body)
             m = re.fullmatch(r"/tasks/([^/]+)/finish", path)

@@ -50,6 +50,8 @@ OBSERVATORY_HTML = """<!doctype html>
   <a href="#/episodes" data-v="episodes">Episodes</a>
   <a href="#/heatmap" data-v="heatmap">Heatmap</a>
   <a href="#/leaderboard" data-v="leaderboard">Leaderboard</a>
+  <a href="#/tasks" data-v="tasks">Eval&nbsp;Tasks</a>
+  <a href="#/tournament" data-v="tournament">Tournament</a>
   <a href="#/sql" data-v="sql">SQL</a>
 </nav>
 <main id="main"></main>
@@ -123,6 +125,57 @@ const views = {
     const d = await J('/leaderboard?metric=' + encodeURIComponent(metric));
     m.querySelector('#tbl').innerHTML =
       table(['rank', 'policy_uri', 'episodes', 'value'], d.entries);
+  },
+
+  async tasks(m) {
+    let d;
+    try { d = await J('/tasks'); }
+    catch (e) { m.innerHTML = '<h2>Eval tasks</h2><p class="err">task queue ' +
+      'not configured on this backend</p>'; return; }
+    const rows = d.tasks.map(t => ({
+      task_id: t.task_id, status: t.status, policy_uri: t.policy_uri,
+      assignee: t.assignee || '', sims: (t.simulations || [])
+        .map(s => s.name).join(', '),
+      result: t.result ? JSON.stringify(t.result).slice(0, 60) : ''}));
+    m.innerHTML = '<h2>Eval tasks (' + rows.length + ')</h2>' +
+      '<div class="bar"><input id="tp" placeholder="policy_uri to evaluate">' +
+      '<button id="mk">Create task</button></div>' +
+      table(['task_id', 'status', 'policy_uri', 'assignee', 'sims', 'result'], rows);
+    m.querySelector('#mk').onclick = async () => {
+      const uri = m.querySelector('#tp').value;
+      if (!uri) return;
+      await J('/tasks', {policy_uri: uri, simulations: [{name: 'basic'}]});
+      location.reload();
+    };
+  },
+
+  async tournament(m, params) {
+    const d = await J('/tournament/seasons');
+    const season = params.get('season') ||
+      (d.seasons[0] ? d.seasons[0].name : null);
+    let html = '<h2>Tournament</h2><div class="bar">' +
+      d.seasons.map(s => '<a href="#/tournament?season=' + esc(s.name) + '">' +
+        esc(s.name) + '</a>').join(' ') +
+      ' <input id="ns" placeholder="new season"><button id="mk">Create</button></div>';
+    if (season) {
+      const lb = await J('/tournament/seasons/' + season + '/leaderboard');
+      const rows = lb.entries.map(e => ({rank: e.rank, policy_uri: e.policy_uri,
+        mean_score: (+e.mean_score).toFixed(3), wins: e.wins, matches: e.matches}));
+      html += '<h2>' + esc(season) + ' leaderboard</h2>' +
+        table(['rank', 'policy_uri', 'mean_score', 'wins', 'matches'], rows);
+      const ms = await J('/tournament/seasons/' + season + '/matches');
+      html += '<h2>Recent matches</h2>' +
+        table(['id', 'players', 'created_at'], ms.matches.map(x => ({
+          id: x.id, created_at: x.created_at,
+          players: x.players.map(p => p.policy_uri + ':' + p.score).join('  ')})));
+    }
+    m.innerHTML = html;
+    m.querySelector('#mk').onclick = async () => {
+      const name = m.querySelector('#ns').value;
+      if (!name) return;
+      await J('/tournament/seasons', {name});
+      location.hash = '#/tournament?season=' + encodeURIComponent(name);
+    };
   },
 
   async heatmap(m, params) {

@@ -79,11 +79,12 @@ def test_unimplemented_surface_is_inventoried():
     product plumbing: Postgres orchestration, auth, tournaments, sweeps-as-
     a-service, job fan-out). If the reference grows a new module, this fails
     so the decision gets re-made instead of rotting silently."""
-    ours_implemented = {"sql_routes.py", "stats_routes.py", "eval_task_routes.py"}
+    ours_implemented = {"sql_routes.py", "stats_routes.py",
+                        "eval_task_routes.py",
+                        "tournament_routes.py"}  # r5: seasons/leaderboards
     known_out_of_scope = {
         "job_routes.py",          # cloud job fan-out (skypilot workers)
         "sweep_routes.py",        # sweep-as-a-service persistence
-        "tournament_routes.py",   # hosted tournament product
     }
     present = {p.name for p in REF_ROUTES.glob("*_routes.py")}
     unaccounted = present - ours_implemented - known_out_of_scope
