@@ -83,6 +83,24 @@ def measure(num_envs: int, steps: int, warmup: int, agents: int):
     dt = sorted(trials)[len(trials) // 2]
 
     env_sps = steps * num_envs / dt
+
+    # Hardware-correctness tripwire (round-5 lesson: the engine was silently
+    # corrupted ON TPU ONLY for two rounds — assemblers with input resources
+    # never fired — while every CPU test stayed green). Random play on the
+    # combat map must produce both ore (mine, no inputs) and batteries
+    # (generator, consumes ore): if conversions are dead, the number above
+    # is measuring a broken simulator and says so.
+    import numpy as np
+
+    res_names = list(cfg.game.resource_names)
+    gained = np.asarray(jax.device_get(vstate.env.agent_gained)).sum(axis=(0, 1))
+    by_name = {n: int(gained[i]) for i, n in enumerate(res_names) if gained[i]}
+    ore_ok = any(n.startswith("ore") and v > 0 for n, v in by_name.items())
+    conv_ok = any(n.startswith("battery") and v > 0 for n, v in by_name.items())
+    sanity = "ok" if (ore_ok and conv_ok) else "FAIL: conversion chain dead on this backend"
+    if sanity != "ok":
+        print(f"bench sanity: {sanity}; gained={by_name}", file=sys.stderr)
+
     return {
         "metric": "env_steps_per_sec_per_chip",
         "value": round(env_sps, 1),
@@ -99,6 +117,8 @@ def measure(num_envs: int, steps: int, warmup: int, agents: int):
             "compile_plus_warmup_s": round(compile_s, 1),
             "backend": jax.default_backend(),
             "obs_consumed": True,
+            "hardware_sanity": sanity,
+            "gained": by_name,
         },
     }
 
