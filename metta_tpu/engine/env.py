@@ -55,6 +55,7 @@ class MettaGridEnv:
         desync_episodes: Optional[bool] = None,
         track_stats: bool = True,
         step_mode: str = "sequential",
+        obs_eps: int = 8,
     ):
         """step_mode: "sequential" (reference-exact shuffled-order agent loop)
         or "batched" (rank-arbitrated vectorized step — the performance path,
@@ -62,6 +63,7 @@ class MettaGridEnv:
         uses coupled inventory limit groups)."""
         self.cfg = cfg
         self.num_envs = num_envs
+        self.obs_eps = obs_eps  # envs per pallas-obs grid step (perf knob)
         game_map = cfg.game.map_builder.create().build()
         self.game_map = game_map
         self.compiled, self._init = compile_game(cfg.game, game_map)
@@ -134,7 +136,8 @@ class MettaGridEnv:
                     )(vstate_env, actions)
                 if self._pl3:
                     obs = render_obs_pallas3(
-                        env, tables, env.executed_action, rew_at_obs
+                        env, tables, env.executed_action, rew_at_obs,
+                        eps=self.obs_eps,
                     )
                 else:
                     obs = render_obs_pallas2(
