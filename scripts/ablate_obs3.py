@@ -261,7 +261,8 @@ def main():
         dt = min(trials) / args.steps
         if v == "none":
             base = dt
-        print(f"skip {v:44s} {dt * 1e3:8.2f} ms/step  (saves {(base - dt) * 1e3:6.2f})")
+        saves = f"(saves {(base - dt) * 1e3:6.2f})" if base is not None else ""
+        print(f"skip {v:44s} {dt * 1e3:8.2f} ms/step  {saves}")
 
 
 if __name__ == "__main__":
