@@ -87,6 +87,13 @@ def _statics3(tables, A: int, EPS: int):
 
     trilT = (np.arange(128)[:, None] < np.arange(128)[None, :]).astype(np.float32)
 
+    # static rank-repack permutation: dense[:, r] = Wf[:, wr(r)*128 + wc(r)]
+    # as ONE one-hot GEMM (replaces WH chunk-gathers + selects; block ids
+    # < 128 are bf16-exact)
+    rperm = np.zeros((RW * 128, 128), np.float32)
+    for r in range(S):
+        rperm[int(wr_of[r]) * 128 + int(wc_of[r]), r] = 1.0
+
     return dict(
         bsel=jnp.asarray(bsel, jnp.bfloat16)[None],
         wrcol=jnp.asarray(wrcol)[None],
@@ -96,12 +103,13 @@ def _statics3(tables, A: int, EPS: int):
         tid=jnp.asarray(tid)[None, None, :],
         locr=jnp.asarray(loc_of)[None, None, :],
         trilT=jnp.asarray(trilT, jnp.bfloat16)[None],
+        rperm=jnp.asarray(rperm, jnp.bfloat16)[None],
     )
 
 
 def _obs3_kernel(sb_ref, cq_ref, rc_ref, gcnt_ref, g3p_ref,
                  bsel_ref, wrcol_ref, hlane_ref, lane16_ref, spw_ref,
-                 tid_ref, locr_ref, tril_ref, tl_ref, *out_refs,
+                 tid_ref, locr_ref, tril_ref, tl_ref, rperm_ref, *out_refs,
                  A, T, K, NQ, Hp, Gp, WH, EPS, Tp, chunk=0, width=None):
     """One 128-token chunk of the render. ``chunk=0`` also emits the
     per-block max token total (out_refs = (out, bmax)); higher chunks run in
@@ -150,15 +158,14 @@ def _obs3_kernel(sb_ref, cq_ref, rc_ref, gcnt_ref, g3p_ref,
     idx2 = c0i + lane16                                # cols c0..c0+15 tiled x8
     Wv = jnp.take_along_axis(P, idx2, axis=1)          # [EPS*G1, 128] f32
 
-    # ---- rank repack: window cells -> center-out rank order lanes ----
+    # ---- rank repack: one one-hot GEMM over the flat window layout ----
+    # (replaces WH chunk gathers + tid selects; poison pad ranks hit the
+    # all-zero rperm column and stay 0 = empty block)
     Wf = jnp.reshape(Wv, (EPS * A, RW * 128))          # lane (wr*128 + l)
-    dense = jnp.zeros((EPS * A, 128), f32)
-    for t in range(WH):
-        part = jnp.take_along_axis(
-            Wf[:, t * 128 : (t + 1) * 128], jnp.broadcast_to(spw, (EPS * A, 128)),
-            axis=1,
-        )
-        dense = jnp.where(tid == t, part, dense)
+    dense = jax.lax.dot_general(
+        Wf.astype(bf16), rperm_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                  # [EPS*A, 128]
     Xi = dense.astype(i32)                             # ranked block ids
 
     # ---- switch to agent-major rows so per-env tables tile via repeat ----
@@ -225,7 +232,9 @@ def _obs3_kernel(sb_ref, cq_ref, rc_ref, gcnt_ref, g3p_ref,
     out_ref = out_refs[0]
     base = chunk * 128
     w = width if width is not None else min(128, T - base)
-    tlc = tl[:, base : base + 128]
+    # full-shape iota (NOT a slice of tl): Mosaic miscompiles/rejects
+    # broadcasts of lane-sliced [1,128] vectors ("Invalid input layout")
+    tlc = jax.lax.broadcasted_iota(i32, (AE, 128), 1) + base
     planes = chunk_planes(tlc)
     for p in range(3):
         out_ref[:, p, :, :w] = jnp.reshape(
@@ -242,7 +251,7 @@ def _obs3_kernel(sb_ref, cq_ref, rc_ref, gcnt_ref, g3p_ref,
 )
 def _call_kernel3(sb, cq, rc, gcnt_t, g3p_t, statics_tuple,
                   *, A, T, K, NQ, Hp, Gp, WH, EPS, Tp, interpret=False):
-    (bsel, wrcol, hlane, lane16, spw, tid, locr, trilT, tl) = statics_tuple
+    (bsel, wrcol, hlane, lane16, spw, tid, locr, trilT, rperm, tl) = statics_tuple
     E = sb.shape[0]
     assert E % EPS == 0
     G1 = A * RW
@@ -269,9 +278,10 @@ def _call_kernel3(sb, cq, rc, gcnt_t, g3p_t, statics_tuple,
         pl.BlockSpec((1, 1, 128), zero3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 128, 128), zero3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, Tp), zero3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, RW * 128, 128), zero3, memory_space=pltpu.VMEM),
     ]
     operands = (sb, cq, rc, gcnt_t, g3p_t, bsel, wrcol, hlane, lane16, spw,
-                tid, locr, trilT, tl)
+                tid, locr, trilT, tl, rperm)
     cost = pl.CostEstimate(
         flops=flops,
         bytes_accessed=EPS * (Hp * 128 * 2 + (NQ + 1) * 128 * 4 + 3 * A * T),
@@ -429,7 +439,7 @@ def render_obs_pallas3(state_b, tables, executed_actions_b, rewards_b,
 
     st = _statics3(tables, A, eps)
     statics = (st["bsel"], st["wrcol"], st["hlane"], st["lane16"],
-               st["spw"], st["tid"], st["locr"], st["trilT"],
+               st["spw"], st["tid"], st["locr"], st["trilT"], st["rperm"],
                jnp.arange(Tp, dtype=jnp.int32)[None, None, :])
 
     gcnt_t = jnp.transpose(gcnt, (1, 0, 2))            # [A, E, 1]
