@@ -92,11 +92,14 @@ def measure(num_envs: int, steps: int, warmup: int, agents: int):
     # is measuring a broken simulator and says so.
     import numpy as np
 
+    # (inventories, not the gained accumulators: ``track_stats=False`` drops
+    # the latter from the hot loop)
     res_names = list(cfg.game.resource_names)
-    gained = np.asarray(jax.device_get(vstate.env.agent_gained)).sum(axis=(0, 1))
-    by_name = {n: int(gained[i]) for i, n in enumerate(res_names) if gained[i]}
+    inv = np.asarray(jax.device_get(vstate.env.agent_inv)).sum(axis=(0, 1))
+    by_name = {n: int(inv[i]) for i, n in enumerate(res_names) if inv[i]}
     ore_ok = any(n.startswith("ore") and v > 0 for n, v in by_name.items())
-    conv_ok = any(n.startswith("battery") and v > 0 for n, v in by_name.items())
+    conv_ok = any((n.startswith("battery") or n in ("heart", "armor", "laser"))
+                  and v > 0 for n, v in by_name.items())
     sanity = "ok" if (ore_ok and conv_ok) else "FAIL: conversion chain dead on this backend"
     if sanity != "ok":
         print(f"bench sanity: {sanity}; gained={by_name}", file=sys.stderr)
