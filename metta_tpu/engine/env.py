@@ -90,6 +90,9 @@ class MettaGridEnv:
         # Concrete template (device arrays): reset/step jits embed it as data,
         # keeping their compile time independent of batch size / map size.
         self._template = make_reset_template(tables, init)
+        from metta_tpu.engine.tables import attach_static_block_grid
+
+        attach_static_block_grid(tables, self._template[0])
 
         if self.step_mode == "batched":
             from metta_tpu.engine.step_batched import step_env_batched as _step_env

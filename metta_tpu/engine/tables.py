@@ -170,3 +170,29 @@ jax.tree_util.register_pytree_node(
     lambda t: t.tree_flatten(),
     Tables.tree_unflatten,
 )
+
+
+def attach_static_block_grid(tables, template_state):
+    """Precompute the static block grid (wall/assembler/chest -> block id)
+    for the obs prep and attach it to the tables pytree — static objects
+    never move mid-episode, so deriving it per step from the state grids is
+    wasted work (measured ~0.65 ms/step at E=4096)."""
+    import jax.numpy as jnp
+
+    from metta_tpu.engine.state import KIND_ASSEMBLER, KIND_CHEST, KIND_WALL
+
+    A = tables.num_agents
+    off_wall = 1 + A
+    off_asm = off_wall + tables.n_object_types
+    off_chest = off_asm + tables.n_assembler_slots
+    k = template_state.static_kind
+    sbg = jnp.where(
+        k == KIND_WALL, off_wall + template_state.static_type,
+        jnp.where(
+            k == KIND_ASSEMBLER, off_asm + template_state.static_idx,
+            jnp.where(k == KIND_CHEST, off_chest + template_state.static_idx, 0),
+        ),
+    ).astype(jnp.int32)
+    tables.obs_static_bg = sbg
+    tables._array_names = tuple(tables._array_names) + ("obs_static_bg",)
+    return tables

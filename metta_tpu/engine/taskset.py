@@ -81,6 +81,9 @@ def build_task_set(
         with jax.default_device(cpu):
             t_cpu = Tables(compiled, track_stats=track_stats)
             tmpl, obs1 = make_reset_template(t_cpu, init)
+        from metta_tpu.engine.tables import attach_static_block_grid
+
+        attach_static_block_grid(t, jax.device_put(tmpl))
         templates.append(jax.device_put(tmpl))
         obs1s.append(jax.device_put(obs1))
         clip0.append(jnp.asarray(init["asm_start_clipped"]))

@@ -313,21 +313,26 @@ def prep_core(state, tables, ea, rw):
     ])
     comp_feat, comp_val, counts = _compact_blocks_mm(blocks, oks, K)
 
-    off_wall = 1 + A
-    off_asm = off_wall + NT
-    off_chest = off_asm + tables.n_assembler_slots
-    sb = jnp.where(
-        state.static_kind == KIND_WALL, off_wall + state.static_type,
-        jnp.where(
-            state.static_kind == KIND_ASSEMBLER, off_asm + state.static_idx,
-            jnp.where(state.static_kind == KIND_CHEST,
-                      off_chest + state.static_idx, 0),
-        ),
-    )
-    # merge agent occupancy (agent_grid holds 1+agent_id, matching block
+    sbg = getattr(tables, "obs_static_bg", None)
+    if sbg is None:
+        off_wall = 1 + A
+        off_asm = off_wall + NT
+        off_chest = off_asm + tables.n_assembler_slots
+        sbg = jnp.where(
+            state.static_kind == KIND_WALL, off_wall + state.static_type,
+            jnp.where(
+                state.static_kind == KIND_ASSEMBLER, off_asm + state.static_idx,
+                jnp.where(state.static_kind == KIND_CHEST,
+                          off_chest + state.static_idx, 0),
+            ),
+        )
+    # else: the env attached the per-map static block grid to the tables at
+    # build time — static objects never move mid-episode, so the 3-way where
+    # chain above is per-episode constant and wasted per-step work.
+    # Merge agent occupancy (agent_grid holds 1+agent_id, matching block
     # ids 1..A): one combined grid read in the kernel replaces the
-    # position-match machinery
-    sb = jnp.where(state.agent_grid > 0, state.agent_grid, sb)
+    # position-match machinery.
+    sb = jnp.where(state.agent_grid > 0, state.agent_grid, sbg)
 
     g_count, g_loc, g_feat, g_val = _global_tokens_all(
         state, tables, ea, rw, H // 2, W // 2, ohr, owr
